@@ -1,0 +1,28 @@
+"""hand3d_tpu — a TPU-native (JAX/XLA/Pallas/pjit) hand-pose framework.
+
+A from-scratch rebuild of the capabilities of lmb-freiburg/hand3d
+(ColorHandPose3D, ICCV 2017): single RGB image -> hand segmentation mask,
+21 2D keypoint heatmaps, and normalized 3D hand pose, via the three-stage
+cascade HandSegNet -> PoseNet -> PosePrior/ViewpointNet.
+
+Everything on the compute path is pure, shape-static JAX: the glue
+transforms that the reference ran as per-sample Python loops or host-side
+numpy (mask->bbox, crop+resize, scoremap rendering, keypoint decoding,
+canonical / kinematic-chain coordinate transforms) are batched on-device
+ops, so the whole pipeline is one jit-compiled program.
+
+Package layout:
+  ops/       batched geometry/image/NN primitives (ref: utils/general.py,
+             utils/canonical_trafo.py, utils/relative_trafo.py)
+  models/    HandSegNet, PoseNet, PosePrior, ViewpointNet, full cascade
+             (ref: nets/ColorHandPose3DNetwork.py, nets/PosePriorNetwork.py)
+  data/      RHD/STB binary record codecs + on-device preprocessing
+             (ref: data/BinaryDbReader.py, data/BinaryDbReaderSTB.py)
+  train/     optax training loops for all three stages (ref: training_*.py)
+  eval/      vectorized metrics + the four evaluation harnesses
+             (ref: eval2d_gt_cropped.py, eval2d.py, eval3d.py, eval_full.py)
+  parallel/  jax.sharding mesh helpers (data-parallel + model sharding)
+  weights/   one-time converter for the reference's TF1 pickle weights
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,166 @@
+"""NN primitives (the reference's NetworkOps, utils/general.py:26-160).
+
+Pure functions over explicit parameter dicts. Parameters use TF-native
+layouts (conv kernels HWIO, dense kernels [in, out]) so converted reference
+weights drop in without transposition; activations are NHWC, which XLA maps
+onto the MXU directly.
+
+Each layer's parameters live in a dict {"weights": ..., "biases": ...} keyed
+by the same names the reference used, so a converted TF1 pickle
+(hand3d_tpu.weights.convert) is structurally identical to a freshly
+initialized tree.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_SLOPE_OF_RELU = 0.01  # general.py:28
+CONV_BIAS_INIT = 1e-4  # general.py:50
+FC_BIAS_INIT = 1e-4  # general.py:126
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def leaky_relu(x):
+    """max(x, 0.01 x) — general.py:30-33."""
+    return jnp.maximum(x, NEG_SLOPE_OF_RELU * x)
+
+
+def conv2d(x, params, stride=1, compute_dtype=None):
+    """SAME-padded conv + bias. params: {"weights": [kh,kw,ic,oc], "biases": [oc]}."""
+    w, b = params["weights"], params["biases"]
+    if compute_dtype is not None:
+        x, w = x.astype(compute_dtype), w.astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), "SAME", dimension_numbers=_DN,
+        preferred_element_type=jnp.float32,
+    )
+    return y + b.astype(y.dtype)
+
+
+def conv2d_relu(x, params, stride=1, compute_dtype=None):
+    return leaky_relu(conv2d(x, params, stride, compute_dtype))
+
+
+def conv2d_transpose(x, params, stride=2, compute_dtype=None):
+    """SAME-padded transposed conv + bias (general.py:67-84, ``upconv``)."""
+    w, b = params["weights"], params["biases"]
+    if compute_dtype is not None:
+        x, w = x.astype(compute_dtype), w.astype(compute_dtype)
+    y = jax.lax.conv_transpose(
+        x, w, (stride, stride), "SAME", dimension_numbers=_DN,
+        preferred_element_type=jnp.float32,
+    )
+    return y + b.astype(y.dtype)
+
+
+def max_pool_2x2(x):
+    """2x2 stride-2 VALID max pool — general.py:61-65."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def avg_pool(x, size, stride=None, padding="SAME"):
+    """Average pool (used for the 8x scoremap pooling, PosePriorNetwork.py:61)."""
+    stride = stride or size
+    summed = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, size, size, 1), (1, stride, stride, 1), padding
+    )
+    if padding == "VALID":
+        return summed / (size * size)
+    counts = jax.lax.reduce_window(
+        jnp.ones_like(x), 0.0, jax.lax.add,
+        (1, size, size, 1), (1, stride, stride, 1), padding,
+    )
+    return summed / counts
+
+
+def dense(x, params, compute_dtype=None):
+    """matmul + bias. params: {"weights": [in,out], "biases": [out]} — general.py:112-130."""
+    w, b = params["weights"], params["biases"]
+    if compute_dtype is not None:
+        x, w = x.astype(compute_dtype), w.astype(compute_dtype)
+    y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
+    return y + b.astype(y.dtype)
+
+
+def dense_relu(x, params, compute_dtype=None):
+    return leaky_relu(dense(x, params, compute_dtype))
+
+
+def dropout(key, x, keep_prob, train):
+    """Inverted dropout gated on ``train`` (general.py:138-148).
+
+    The reference gates on an ``evaluation`` placeholder with tf.cond; here
+    train is a trace-time Python bool — training and eval are separate jitted
+    programs, which is the XLA-friendly formulation.
+    """
+    if not train or keep_prob >= 1.0:
+        return x
+    mask = jax.random.bernoulli(key, keep_prob, x.shape)
+    return jnp.where(mask, x / keep_prob, 0.0)
+
+
+def spatial_dropout(key, x, keep_prob, train):
+    """Channel-wise dropout, noise shape [B,1,1,C] (general.py:150-160)."""
+    if not train or keep_prob >= 1.0:
+        return x
+    b, _, _, c = x.shape
+    mask = jax.random.bernoulli(key, keep_prob, (b, 1, 1, c))
+    return jnp.where(mask, x / keep_prob, 0.0)
+
+
+# --- Initializers ------------------------------------------------------------
+
+
+def xavier_conv_init(key, kh, kw, in_chan, out_chan, dtype=jnp.float32):
+    """Glorot-uniform for conv kernels (tf.contrib.layers.xavier_initializer_conv2d)."""
+    fan_in = kh * kw * in_chan
+    fan_out = kh * kw * out_chan
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(
+        key, (kh, kw, in_chan, out_chan), dtype, -limit, limit
+    )
+
+
+def xavier_fc_init(key, in_chan, out_chan, dtype=jnp.float32):
+    """Glorot-uniform for dense kernels (tf.contrib.layers.xavier_initializer)."""
+    limit = math.sqrt(6.0 / (in_chan + out_chan))
+    return jax.random.uniform(key, (in_chan, out_chan), dtype, -limit, limit)
+
+
+def conv_init(key, kh, kw, in_chan, out_chan, dtype=jnp.float32):
+    return {
+        "weights": xavier_conv_init(key, kh, kw, in_chan, out_chan, dtype),
+        "biases": jnp.full((out_chan,), CONV_BIAS_INIT, dtype),
+    }
+
+
+def dense_init(key, in_chan, out_chan, dtype=jnp.float32):
+    return {
+        "weights": xavier_fc_init(key, in_chan, out_chan, dtype),
+        "biases": jnp.full((out_chan,), FC_BIAS_INIT, dtype),
+    }
+
+
+def bilinear_upconv_init(size, channels, dtype=jnp.float32):
+    """Fixed bilinear-interpolation kernel for transposed convs.
+
+    Mirrors NetworkOps.get_deconv_filter (general.py:92-110): identical
+    per-channel bilinear tap pattern, zero cross-channel terms, zero biases.
+    """
+    f = math.ceil(size / 2.0)
+    c = (2 * f - 1 - f % 2) / (2.0 * f)
+    coords = np.arange(size)
+    vals = (1 - np.abs(coords / f - c))
+    bilinear = np.outer(vals, vals)
+    weights = np.zeros((size, size, channels, channels), dtype=np.float32)
+    for i in range(channels):
+        weights[:, :, i, i] = bilinear
+    return {
+        "weights": jnp.asarray(weights, dtype),
+        "biases": jnp.zeros((channels,), dtype),
+    }
