@@ -1,0 +1,85 @@
+"""PoseNet: CPM-style 2D keypoint heatmap network with recurrent refinement.
+
+Architecture per nets/ColorHandPose3DNetwork.inference_pose2d (:170-219):
+encoder blocks [2, 2, 4, 2] x [64, 128, 256, 512] with 3 pools (256 -> 32),
+conv4_3..4_6 (256) + conv4_7 encoding (128), an initial 1x1 head
+conv5_1(512) -> conv5_2(21), then two refinement units, each
+concat(prev scoremap, encoding) -> 5x (7x7 conv, 128) -> 1x1(128) -> 1x1(21).
+Returns all three scoremaps (deep supervision), each [B, H/8, W/8, 21].
+"""
+
+import jax
+import jax.numpy as jnp
+
+from hand3d_tpu.ops import nn
+
+SCOPE = "PoseNet2D"
+NUM_KP = 21
+ENC_CHAN = 128
+NUM_REFINEMENT_UNITS = 2
+
+_ENCODER = (
+    [(f"conv1_{i}", 3, 64) for i in (1, 2)]
+    + ["pool"]
+    + [(f"conv2_{i}", 3, 128) for i in (1, 2)]
+    + ["pool"]
+    + [(f"conv3_{i}", 3, 256) for i in (1, 2, 3, 4)]
+    + ["pool"]
+    + [(f"conv4_{i}", 3, 512) for i in (1, 2)]
+    + [(f"conv4_{i}", 3, 256) for i in (3, 4, 5, 6)]
+    + [("conv4_7", 3, ENC_CHAN)]
+)
+
+
+def _refinement_layers(unit):
+    """Layer specs for refinement unit ``unit`` (6 or 7 in reference naming)."""
+    n = unit + 6
+    specs = [(f"conv{n}_{i}", 7, 128, True) for i in range(1, 6)]
+    specs.append((f"conv{n}_6", 1, 128, True))
+    specs.append((f"conv{n}_7", 1, NUM_KP, False))
+    return specs
+
+
+def init(key, dtype=None):
+    params = {}
+    keys = iter(jax.random.split(key, 64))
+    in_chan = 3
+    for layer in _ENCODER:
+        if layer == "pool":
+            continue
+        name, ksize, out_chan = layer
+        params[name] = nn.conv_init(next(keys), ksize, ksize, in_chan, out_chan)
+        in_chan = out_chan
+    params["conv5_1"] = nn.conv_init(next(keys), 1, 1, ENC_CHAN, 512)
+    params["conv5_2"] = nn.conv_init(next(keys), 1, 1, 512, NUM_KP)
+    for unit in range(NUM_REFINEMENT_UNITS):
+        in_chan = NUM_KP + ENC_CHAN
+        for name, ksize, out_chan, _ in _refinement_layers(unit):
+            params[name] = nn.conv_init(next(keys), ksize, ksize, in_chan, out_chan)
+            in_chan = out_chan
+    return params
+
+
+def apply(params, image_crop, compute_dtype=None):
+    """image_crop [B, H, W, 3] -> list of three [B, H/8, W/8, 21] scoremaps."""
+    x = image_crop
+    for layer in _ENCODER:
+        if layer == "pool":
+            x = nn.max_pool_2x2(x)
+            continue
+        name, _, _ = layer
+        x = nn.conv2d_relu(x, params[name], compute_dtype=compute_dtype)
+    encoding = x
+
+    x = nn.conv2d_relu(encoding, params["conv5_1"], compute_dtype=compute_dtype)
+    scoremaps = [nn.conv2d(x, params["conv5_2"], compute_dtype=compute_dtype)]
+
+    for unit in range(NUM_REFINEMENT_UNITS):
+        x = jnp.concatenate([scoremaps[-1], encoding], axis=-1)
+        for name, _, _, relu in _refinement_layers(unit):
+            x = nn.conv2d(x, params[name], compute_dtype=compute_dtype)
+            if relu:
+                x = nn.leaky_relu(x)
+        scoremaps.append(x)
+
+    return scoremaps

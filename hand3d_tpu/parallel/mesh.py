@@ -1,0 +1,84 @@
+"""Device-mesh + sharding helpers (the framework's scale-out layer).
+
+The reference is strictly single-device (SURVEY.md §2.6: one tf.Session, no
+collectives). Here scale-out is expressed the TPU way: a 2D
+("data", "model") jax.sharding.Mesh; the batch axis shards over "data"
+(pure DP — gradients all-reduce over ICI automatically via GSPMD) and the
+wide conv/FC output channels optionally shard over "model" (tensor
+parallelism; XLA inserts the all-gathers/psums). These CNNs are small enough
+that DP is the right production strategy, but the TP rules keep the whole
+param tree shardable so the same train step runs on any mesh shape — this is
+what __graft_entry__.dryrun_multichip exercises.
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+# output-channel dims smaller than this stay replicated (sharding tiny layers
+# costs more in collectives than it saves)
+_MIN_SHARD_DIM = 128
+
+
+def make_mesh(n_data=None, n_model=1, devices=None):
+    """Build a ("data", "model") mesh over the given (or all) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model == len(devices), (
+        f"mesh {n_data}x{n_model} != {len(devices)} devices"
+    )
+    grid = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh):
+    """Shard the leading (batch) axis over "data"."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicate(mesh):
+    return NamedSharding(mesh, P())
+
+
+def _spec_for_param(path, value, model_size):
+    """Tensor-parallel PartitionSpec for one parameter.
+
+    Conv kernels [kh, kw, in, out] and dense kernels [in, out] shard their
+    output channel over "model" when it is large and divisible; biases
+    follow their kernel. Everything else is replicated.
+    """
+    if model_size <= 1:
+        return P()
+    leaf = path[-1]
+    out_dim = value.shape[-1]
+    if out_dim < _MIN_SHARD_DIM or out_dim % model_size != 0:
+        return P()
+    if leaf == "weights" and value.ndim == 4:
+        return P(None, None, None, MODEL_AXIS)
+    if leaf == "weights" and value.ndim == 2:
+        return P(None, MODEL_AXIS)
+    if leaf == "biases" and value.ndim == 1:
+        return P(MODEL_AXIS)
+    return P()
+
+
+def param_sharding(mesh, params):
+    """NamedSharding tree matching ``params`` (TP over "model" where useful)."""
+    model_size = mesh.shape[MODEL_AXIS]
+
+    def to_sharding(path, value):
+        keys = tuple(
+            p.key if hasattr(p, "key") else str(p) for p in path
+        )
+        return NamedSharding(mesh, _spec_for_param(keys, value, model_size))
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def shard_params(mesh, params):
+    """device_put the tree with its TP sharding."""
+    return jax.device_put(params, param_sharding(mesh, params))

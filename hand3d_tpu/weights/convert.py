@@ -1,0 +1,132 @@
+"""One-time converter: reference TF1 weights -> hand3d_tpu parameter trees.
+
+The reference distributes weights two ways (SURVEY.md §2.5):
+  * pickled {variable_name: ndarray} dicts (handsegnet-rhd.pickle,
+    posenet3d-rhd-stb*.pickle, lifting-<variant>.pickle), loaded by
+    net.init() with substring-based exclusion
+    (nets/ColorHandPose3DNetwork.py:34-59);
+  * TF checkpoints (training snapshots + the CPM-MPII warm start), loaded by
+    utils/general.load_weights_from_snapshot (:614-651) with substring
+    discard + rename.
+
+Conversion is purely structural: TF variable names like
+'HandSegNet/conv1_1/weights' become nested dict paths, and the arrays are
+layout-compatible as-is (TF conv kernels are HWIO which is exactly what
+hand3d_tpu.ops.nn.conv2d consumes; dense kernels are [in, out]; the NHWC
+flatten order before the lifting FCs matches TF's reshape).
+"""
+
+import pickle
+
+import numpy as np
+
+_SUFFIXES = (":0",)
+
+
+def _clean_name(name):
+    for suf in _SUFFIXES:
+        if name.endswith(suf):
+            name = name[: -len(suf)]
+    return name
+
+
+def apply_discard_rename(flat, discard_list=None, rename_dict=None):
+    """Substring-based discard + rename, mirroring general.py:614-651.
+
+    ``discard_list``: drop any variable whose name contains any entry.
+    ``rename_dict``: for each (old, new), substring-replace old -> new.
+    """
+    out = {}
+    for name, value in flat.items():
+        if discard_list and any(d in name for d in discard_list):
+            continue
+        new_name = name
+        if rename_dict:
+            for old, new in rename_dict.items():
+                if old in new_name:
+                    new_name = new_name.replace(old, new)
+        out[new_name] = value
+    return out
+
+
+def flat_to_tree(flat):
+    """{'A/b/weights': arr} -> {'A': {'b': {'weights': arr}}}."""
+    tree = {}
+    for name, value in flat.items():
+        parts = _clean_name(name).split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = np.asarray(value)
+    return tree
+
+
+def tree_to_flat(tree, prefix=""):
+    """Inverse of :func:`flat_to_tree`."""
+    flat = {}
+    for k, v in tree.items():
+        path = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            flat.update(tree_to_flat(v, path))
+        else:
+            flat[path] = np.asarray(v)
+    return flat
+
+
+def load_pickle_flat(path, exclude_var_list=None):
+    """Load one reference pickle as a flat {name: ndarray} dict.
+
+    ``exclude_var_list`` uses the same substring semantics as
+    ColorHandPose3DNetwork.init (:55).
+    """
+    with open(path, "rb") as f:
+        weight_dict = pickle.load(f, encoding="latin1")
+    exclude_var_list = exclude_var_list or []
+    return {
+        _clean_name(k): np.asarray(v)
+        for k, v in weight_dict.items()
+        if not any(x in k for x in exclude_var_list)
+    }
+
+
+def convert_reference_pickles(weight_files, exclude_var_list=None,
+                              rename_dict=None):
+    """Merge one or more reference pickles into a hand3d_tpu param tree.
+
+    Later files override earlier ones on name collision, matching the
+    sequential assignment order of net.init (:51-59).
+    """
+    flat = {}
+    for path in weight_files:
+        flat.update(load_pickle_flat(path, exclude_var_list))
+    flat = apply_discard_rename(flat, None, rename_dict)
+    return flat_to_tree(flat)
+
+
+def load_tf_checkpoint_flat(checkpoint_path, discard_list=None, rename_dict=None):
+    """Read a TF checkpoint (e.g. the CPM-MPII warm start or a reference
+    training snapshot) into a flat dict. Requires tensorflow to be installed;
+    raises a clear error otherwise (TF is intentionally not a dependency of
+    this framework)."""
+    try:
+        from tensorflow.python.training import py_checkpoint_reader  # type: ignore
+        reader = py_checkpoint_reader.NewCheckpointReader(checkpoint_path)
+    except ImportError as e:  # pragma: no cover - env without TF
+        raise ImportError(
+            "Reading TF checkpoints requires tensorflow. Convert the "
+            "checkpoint to a pickle/npz on a machine with TF installed, "
+            "then load it here."
+        ) from e
+    names = reader.get_variable_to_shape_map().keys()
+    flat = {n: reader.get_tensor(n) for n in names}
+    return apply_discard_rename(flat, discard_list, rename_dict)
+
+
+def save_npz(path, tree):
+    """Save a param tree as an .npz with '/'-joined keys."""
+    np.savez(path, **tree_to_flat(tree))
+
+
+def load_npz(path):
+    with np.load(path) as data:
+        return flat_to_tree({k: data[k] for k in data.files})
