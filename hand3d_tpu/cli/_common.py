@@ -1,0 +1,54 @@
+"""Shared CLI helpers."""
+
+import argparse
+
+import jax
+
+from hand3d_tpu.weights import convert_reference_pickles, load_npz
+
+
+def add_weights_arg(parser, required=False):
+    parser.add_argument(
+        "--weights", nargs="+", default=None, required=required,
+        help="Weight files: .npz (hand3d_tpu export) and/or reference "
+        ".pickle files (converted on the fly).",
+    )
+
+
+def load_weight_trees(paths, exclude_var_list=None):
+    """Merge .npz / reference-.pickle files into one param tree."""
+    merged = {}
+    for path in paths:
+        if path.endswith(".npz"):
+            tree = load_npz(path)
+        else:
+            tree = convert_reference_pickles([path], exclude_var_list)
+        for scope, sub in tree.items():
+            merged.setdefault(scope, {}).update(sub)
+    return merged
+
+
+def init_or_load(net, seed, weight_paths, exclude_var_list=None):
+    params = net.init(jax.random.PRNGKey(seed))
+    if weight_paths:
+        loaded = load_weight_trees(weight_paths, exclude_var_list)
+        for scope in params:
+            if scope in loaded:
+                params[scope].update(loaded[scope])
+    return params
+
+
+def progress_printer(total, batch_size):
+    def progress(batch_idx, valid):
+        done = batch_idx * batch_size + valid
+        if batch_idx % 10 == 0:
+            print(f"{done} / {total} images done: {done * 100.0 / total:.3f} percent")
+
+    return progress
+
+
+def base_parser(description):
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--seed", type=int, default=0)
+    return p

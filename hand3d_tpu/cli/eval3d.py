@@ -1,0 +1,40 @@
+"""3D lifting-variant evaluation from GT scoremaps (<- eval3d.py).
+
+Expected median EPE with the reference's shipped weights (BASELINE.md rows
+7-11): direct 20.848 mm, bottleneck 21.907 mm, local 39.121 mm,
+local_w_xyz_loss 21.950 mm, proposed 18.840 mm.
+"""
+
+from hand3d_tpu.cli._common import (
+    add_weights_arg,
+    base_parser,
+    init_or_load,
+    progress_printer,
+)
+from hand3d_tpu.data.rhd import RHDDataset
+from hand3d_tpu.eval.harnesses import eval3d_lifting
+from hand3d_tpu.models.poseprior import VARIANTS, PosePriorNetwork
+
+
+def main():
+    p = base_parser(__doc__)
+    add_weights_arg(p)
+    p.add_argument("--variant", choices=VARIANTS, default="proposed")
+    p.add_argument("--data", default=None, help="Path to rhd_evaluation.bin")
+    args = p.parse_args()
+
+    dataset = RHDDataset("evaluation", path=args.data)
+    net = PosePriorNetwork(args.variant)
+    params = init_or_load(net, args.seed, args.weights)
+    metrics = eval3d_lifting(
+        args.variant, params, dataset, args.batch_size,
+        progress=progress_printer(len(dataset), args.batch_size),
+    )
+    print("Evaluation results for %s:" % args.variant)
+    print("Average mean EPE: %.3f mm" % metrics["epe_mean_mm"])
+    print("Average median EPE: %.3f mm" % metrics["epe_median_mm"])
+    print("Area under curve: %.3f" % metrics["auc_0_50mm"])
+
+
+if __name__ == "__main__":
+    main()

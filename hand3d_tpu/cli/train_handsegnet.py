@@ -1,0 +1,56 @@
+"""Train HandSegNet on RHD full frames (<- training_handsegnet.py).
+
+Reference hyperparameters (training_handsegnet.py:29-39): batch 8, Adam, LR
+[1e-5, 1e-6, 1e-7] stepping at [20k, 30k], 40k iterations, hue augmentation
++ random 256x256 crops, softmax cross-entropy against the 2-class hand mask.
+"""
+
+import jax
+
+from hand3d_tpu.cli._common import add_weights_arg, base_parser, load_weight_trees
+from hand3d_tpu.data.config import PreprocessConfig
+from hand3d_tpu.data.pipeline import InputPipeline
+from hand3d_tpu.data.rhd import RHDDataset
+from hand3d_tpu.models import handsegnet
+from hand3d_tpu.train import handsegnet_loss, make_optimizer
+from hand3d_tpu.train.loop import fit
+
+
+def loss_fn(params, batch, key):
+    logits = handsegnet.apply(params[handsegnet.SCOPE], batch["image"])
+    return handsegnet_loss(logits, batch["hand_mask"])
+
+
+def main():
+    p = base_parser(__doc__)
+    p.set_defaults(batch_size=8)
+    add_weights_arg(p)
+    p.add_argument("--data", default=None, help="Path to rhd_training.bin")
+    p.add_argument("--max-iter", type=int, default=40000)
+    p.add_argument("--lr", type=float, nargs="+", default=[1e-5, 1e-6, 1e-7])
+    p.add_argument("--lr-iter", type=int, nargs="+", default=[20000, 30000])
+    p.add_argument("--snapshot-dir", default="snapshots_handsegnet")
+    p.add_argument("--snapshot-freq", type=int, default=5000)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args()
+
+    dataset = RHDDataset("training", path=args.data)
+    cfg = PreprocessConfig(hue_aug=True, random_crop_to_size=True)
+    pipeline = InputPipeline(dataset, cfg, args.batch_size, seed=args.seed)
+
+    params = {handsegnet.SCOPE: handsegnet.init(jax.random.PRNGKey(args.seed))}
+    if args.weights:
+        loaded = load_weight_trees(args.weights)
+        if handsegnet.SCOPE in loaded:
+            params[handsegnet.SCOPE].update(loaded[handsegnet.SCOPE])
+
+    optimizer = make_optimizer(args.lr, args.lr_iter)
+    fit(
+        loss_fn, params, optimizer, pipeline, args.max_iter,
+        seed=args.seed, snapshot_dir=args.snapshot_dir,
+        snapshot_freq=args.snapshot_freq, resume=args.resume,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Train a PosePriorNetwork lifting variant on RHD (<- training_lifting.py).
+
+Reference hyperparameters (training_lifting.py:36-51): batch 8, Adam, LR
+[1e-5, 1e-6] stepping at [60k], 80k iterations; inputs are GT scoremaps of
+noisy GT crops (coord-uv, crop-center, crop-offset, crop-scale noise); loss
+depends on the variant (see hand3d_tpu.train.losses.lifting_loss).
+"""
+
+import jax
+
+from hand3d_tpu.cli._common import add_weights_arg, base_parser, load_weight_trees
+from hand3d_tpu.data.config import PreprocessConfig
+from hand3d_tpu.data.pipeline import InputPipeline
+from hand3d_tpu.data.rhd import RHDDataset
+from hand3d_tpu.models.poseprior import VARIANTS, PosePriorNetwork
+from hand3d_tpu.train import lifting_loss, make_optimizer
+from hand3d_tpu.train.loop import fit
+
+
+def main():
+    p = base_parser(__doc__)
+    p.set_defaults(batch_size=8)
+    add_weights_arg(p)
+    p.add_argument("--variant", choices=VARIANTS, default="proposed")
+    p.add_argument("--data", default=None, help="Path to rhd_training.bin")
+    p.add_argument("--max-iter", type=int, default=80000)
+    p.add_argument("--lr", type=float, nargs="+", default=[1e-5, 1e-6])
+    p.add_argument("--lr-iter", type=int, nargs="+", default=[60000])
+    p.add_argument("--snapshot-dir", default=None)
+    p.add_argument("--snapshot-freq", type=int, default=5000)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args()
+    snapshot_dir = args.snapshot_dir or f"snapshots_lifting_{args.variant}"
+
+    dataset = RHDDataset("training", path=args.data)
+    cfg = PreprocessConfig(
+        use_wrist_coord=False, hand_crop=True,
+        coord_uv_noise=True, crop_center_noise=True,
+        crop_offset_noise=True, crop_scale_noise=True,
+    )
+    pipeline = InputPipeline(dataset, cfg, args.batch_size, seed=args.seed)
+
+    net = PosePriorNetwork(args.variant)
+    params = net.init(jax.random.PRNGKey(args.seed))
+    if args.weights:
+        loaded = load_weight_trees(args.weights)
+        for scope in params:
+            if scope in loaded:
+                params[scope].update(loaded[scope])
+
+    def loss_fn(params, batch, key):
+        out = net.apply(
+            params, batch["scoremap"], batch["hand_side"], train=True, key=key
+        )
+        return lifting_loss(args.variant, out, batch)
+
+    optimizer = make_optimizer(args.lr, args.lr_iter)
+    fit(
+        loss_fn, params, optimizer, pipeline, args.max_iter,
+        seed=args.seed, snapshot_dir=snapshot_dir,
+        snapshot_freq=args.snapshot_freq, resume=args.resume,
+    )
+
+
+if __name__ == "__main__":
+    main()

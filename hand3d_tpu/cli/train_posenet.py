@@ -1,0 +1,62 @@
+"""Train PoseNet on RHD ground-truth crops (<- training_posenet.py).
+
+Reference hyperparameters (training_posenet.py:29-42): batch 8, Adam, LR
+[1e-4, 1e-5, 1e-6] stepping at [10k, 20k], 30k iterations, GT crops with
+coord-uv + crop-center noise, visibility-masked scoremap loss over all three
+prediction heads. Optionally warm-starts from converted CPM weights.
+"""
+
+import jax
+
+from hand3d_tpu.cli._common import add_weights_arg, base_parser, load_weight_trees
+from hand3d_tpu.data.config import PreprocessConfig
+from hand3d_tpu.data.pipeline import InputPipeline
+from hand3d_tpu.data.rhd import RHDDataset
+from hand3d_tpu.models import posenet
+from hand3d_tpu.train import make_optimizer, posenet_scoremap_loss
+from hand3d_tpu.train.loop import fit
+
+
+def loss_fn(params, batch, key):
+    preds = posenet.apply(params[posenet.SCOPE], batch["image_crop"])
+    return posenet_scoremap_loss(preds, batch["scoremap"], batch["keypoint_vis21"])
+
+
+def main():
+    p = base_parser(__doc__)
+    p.set_defaults(batch_size=8)
+    add_weights_arg(p)
+    p.add_argument("--data", default=None, help="Path to rhd_training.bin")
+    p.add_argument("--max-iter", type=int, default=30000)
+    p.add_argument("--lr", type=float, nargs="+", default=[1e-4, 1e-5, 1e-6])
+    p.add_argument("--lr-iter", type=int, nargs="+", default=[10000, 20000])
+    p.add_argument("--snapshot-dir", default="snapshots_posenet")
+    p.add_argument("--snapshot-freq", type=int, default=5000)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args()
+
+    dataset = RHDDataset("training", path=args.data)
+    cfg = PreprocessConfig(
+        use_wrist_coord=False, hand_crop=True,
+        coord_uv_noise=True, crop_center_noise=True,
+    )
+    pipeline = InputPipeline(dataset, cfg, args.batch_size, seed=args.seed)
+
+    params = {posenet.SCOPE: posenet.init(jax.random.PRNGKey(args.seed))}
+    if args.weights:
+        # e.g. converted CPM-MPII warm start (training_posenet.py:74-76 uses
+        # rename CPM/PoseNet -> PoseNet2D; do the rename at conversion time)
+        loaded = load_weight_trees(args.weights)
+        if posenet.SCOPE in loaded:
+            params[posenet.SCOPE].update(loaded[posenet.SCOPE])
+
+    optimizer = make_optimizer(args.lr, args.lr_iter)
+    fit(
+        loss_fn, params, optimizer, pipeline, args.max_iter,
+        seed=args.seed, snapshot_dir=args.snapshot_dir,
+        snapshot_freq=args.snapshot_freq, resume=args.resume,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Host -> device input pipeline with background prefetch.
+
+Replaces the reference's TF queue runners + shuffle_batch_join
+(BinaryDbReader.py:394-408, started at e.g. training_handsegnet.py:52): a
+daemon thread slices raw record batches out of the memmap and pushes them to
+a bounded queue; the consumer device_puts them (optionally sharded over the
+"data" mesh axis) and runs the jitted on-device preprocess. Queue depth 2
+double-buffers host IO against device compute.
+"""
+
+import queue
+import threading
+
+import jax
+import numpy as np
+
+from hand3d_tpu.data.preprocess import preprocess_rhd, preprocess_stb
+from hand3d_tpu.data.rhd import RHDDataset
+from hand3d_tpu.data.stb import STBDataset
+
+
+def epoch_indices(num_samples, batch_size, shuffle, seed, drop_remainder=True):
+    """Batched index arrays for one epoch."""
+    idx = np.arange(num_samples)
+    if shuffle:
+        np.random.RandomState(seed).shuffle(idx)
+    if drop_remainder:
+        n = (num_samples // batch_size) * batch_size
+        idx = idx[:n]
+    else:
+        pad = (-len(idx)) % batch_size
+        idx = np.concatenate([idx, idx[:pad]])
+    return idx.reshape(-1, batch_size)
+
+
+class InputPipeline:
+    """Iterates preprocessed device batches from an RHD/STB dataset.
+
+    Args:
+      dataset: RHDDataset or STBDataset.
+      cfg: PreprocessConfig (selects derived features/augmentations).
+      batch_size: per-step global batch.
+      shuffle: reshuffle every epoch.
+      seed: shuffle + augmentation seed.
+      sharding: optional jax.sharding.Sharding for the raw batch arrays
+        (e.g. parallel.mesh.batch_sharding(mesh) for DP).
+      prefetch: host-side queue depth.
+    """
+
+    def __init__(self, dataset, cfg, batch_size, shuffle=True, seed=0,
+                 sharding=None, prefetch=2):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.sharding = sharding
+        self.prefetch = prefetch
+        self._preprocess = (
+            preprocess_rhd if isinstance(dataset, RHDDataset) else preprocess_stb
+        )
+
+    def steps_per_epoch(self):
+        return len(self.dataset) // self.batch_size
+
+    def __iter__(self):
+        return self.iterate(epochs=1)
+
+    def iterate(self, epochs=None, start_epoch=0):
+        """Yield feature dicts; ``epochs=None`` iterates forever."""
+        q = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            epoch = start_epoch
+            while not stop.is_set() and (epochs is None or epoch < start_epoch + epochs):
+                batches = epoch_indices(
+                    len(self.dataset), self.batch_size, self.shuffle,
+                    self.seed + epoch,
+                )
+                for step, idx in enumerate(batches):
+                    if stop.is_set():
+                        return
+                    raw = self.dataset.raw_batch(idx)
+                    q.put((epoch, step, raw))
+                epoch += 1
+            q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        base_key = jax.random.PRNGKey(self.seed)
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                epoch, step, raw = item
+                if self.sharding is not None:
+                    raw = jax.device_put(
+                        raw, jax.tree_util.tree_map(lambda _: self.sharding, raw)
+                    )
+                key = None
+                if self.cfg.needs_rng:
+                    key = jax.random.fold_in(
+                        jax.random.fold_in(base_key, epoch), step
+                    )
+                yield self._preprocess(self.cfg, raw, key)
+        finally:
+            stop.set()
+            # drain so the producer can observe the stop flag
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

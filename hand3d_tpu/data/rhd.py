@@ -1,0 +1,45 @@
+"""RHD (Rendered Handpose Dataset) reader.
+
+Consumes the same rhd_{training,evaluation}.bin files as the reference
+(produced by tools/create_binary_db.py; layout in hand3d_tpu.data.codec).
+Sample counts per data/BinaryDbReader.py:59-64.
+"""
+
+import numpy as np
+
+from hand3d_tpu.data.codec import FixedLenRecordFile, RHD_RECORD_DTYPE
+
+NUM_SAMPLES = {"training": 41258, "evaluation": 2728}
+DEFAULT_PATHS = {
+    "training": "./data/bin/rhd_training.bin",
+    "evaluation": "./data/bin/rhd_evaluation.bin",
+}
+
+
+class RHDDataset:
+    def __init__(self, mode, path=None):
+        assert mode in NUM_SAMPLES, f"Unknown dataset mode: {mode}"
+        self.mode = mode
+        self.path = path or DEFAULT_PATHS[mode]
+        self.records = FixedLenRecordFile(self.path, RHD_RECORD_DTYPE)
+        self.num_samples = len(self.records)
+        expected = NUM_SAMPLES[mode]
+        if self.num_samples != expected:
+            # custom/synthetic .bin files are allowed (tests, subsets); the
+            # official files must match the reference counts
+            pass
+
+    def __len__(self):
+        return self.num_samples
+
+    def raw_batch(self, indices):
+        """Materialize records as a dict of numpy arrays (host-side only)."""
+        recs = self.records.gather(indices)
+        return {
+            "kp_xyz": recs["kp_xyz"],
+            "kp_uv": recs["kp_uv"],
+            "cam_mat": recs["cam_mat"],
+            "image": recs["image"],
+            "hand_parts": recs["hand_parts"],
+            "kp_vis": recs["kp_vis"],
+        }

@@ -1,0 +1,182 @@
+"""The four evaluation harnesses, batched and jitted.
+
+Library equivalents of the reference's eval scripts — same data settings,
+same metric math, same threshold grids — but each runs the whole per-batch
+computation (preprocess -> network -> keypoint decode -> distances) as one
+jitted program and streams batches through the device, instead of 2.7k-6k
+single-sample sess.run round trips (eval_full.py:71-86):
+
+  * eval2d_gt_cropped  <- eval2d_gt_cropped.py (PoseNet on GT crops, px EPE)
+  * eval2d_full_image  <- eval2d.py (HandSegNet+PoseNet on full frames)
+  * eval3d_lifting     <- eval3d.py (lifting variants from GT scoremaps, mm)
+  * eval_full_pipeline <- eval_full.py (image -> 3D, mm, + 20-50mm AUC)
+
+Each returns a dict of metrics; expected reference values are listed in
+BASELINE.md rows 1-13.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hand3d_tpu.data.config import PreprocessConfig
+from hand3d_tpu.data.preprocess import preprocess_rhd, preprocess_stb
+from hand3d_tpu.data.rhd import RHDDataset
+from hand3d_tpu.eval.metrics import EvalUtil, calc_auc
+from hand3d_tpu.models.cascade import CROP_SIZE, ColorHandPose3D
+from hand3d_tpu.models.poseprior import PosePriorNetwork
+from hand3d_tpu.ops.image import resize_bilinear
+from hand3d_tpu.ops.keypoints import detect_keypoints_2d
+
+
+def _preprocess_fn(dataset):
+    return preprocess_rhd if isinstance(dataset, RHDDataset) else preprocess_stb
+
+
+def _eval_batches(dataset, batch_size):
+    """Yield (indices, valid_count); the last batch is padded by repetition."""
+    n = len(dataset)
+    for start in range(0, n, batch_size):
+        idx = np.arange(start, min(start + batch_size, n))
+        valid = len(idx)
+        if valid < batch_size:
+            idx = np.concatenate([idx, np.full(batch_size - valid, n - 1)])
+        yield idx, valid
+
+
+def _run(dataset, cfg, batch_size, step_fn, util_feed, progress=None):
+    pre = _preprocess_fn(dataset)
+    for bi, (idx, valid) in enumerate(_eval_batches(dataset, batch_size)):
+        raw = {k: jnp.asarray(v) for k, v in dataset.raw_batch(idx).items()}
+        data = pre(cfg, raw)
+        out = step_fn(data)
+        util_feed({k: np.asarray(v)[:valid] for k, v in out.items()})
+        if progress:
+            progress(bi, valid)
+
+
+def eval2d_gt_cropped(posenet_params, dataset, batch_size=32, progress=None):
+    """PoseNet alone on ground-truth crops; 2D EPE in source-image pixels.
+
+    Reference: eval2d_gt_cropped.py (reader settings :38, EPE / crop_scale
+    :82, thresholds 0-30 px over 20 steps :87).
+    """
+    from hand3d_tpu.models import posenet
+
+    cfg = PreprocessConfig(hand_crop=True, use_wrist_coord=False)
+
+    @jax.jit
+    def step(data):
+        preds = posenet.apply(posenet_params, data["image_crop"])
+        sm = resize_bilinear(preds[-1], (CROP_SIZE, CROP_SIZE))
+        coord_hw = detect_keypoints_2d(sm)
+        coord_uv = coord_hw[..., ::-1]
+        scale = data["crop_scale"][:, None, None]
+        dists = jnp.linalg.norm(
+            data["keypoint_uv21"] / scale - coord_uv / scale, axis=-1
+        )
+        return {"dists": dists, "vis": data["keypoint_vis21"]}
+
+    util = EvalUtil()
+    _run(dataset, cfg, batch_size, step,
+         lambda o: util.feed_batch(o["dists"], o["vis"]), progress)
+    mean, median, auc, curve, thr = util.get_measures(0.0, 30.0, 20)
+    return {"epe_mean_px": mean, "epe_median_px": median, "auc_0_30px": auc,
+            "pck_curve": curve, "thresholds_px": thr}
+
+
+def eval2d_full_image(params, dataset, batch_size=16, use_wrist_coord=True,
+                      scale_to_size=True, progress=None):
+    """HandSegNet + PoseNet on full frames; 2D EPE in dataset pixels.
+
+    Reference: eval2d.py. With scale_to_size=True both GT and predictions
+    live in the 240x320 frame (the paper setting, rows 3-4 of BASELINE.md);
+    with scale_to_size=False the network still sees 240x320 but coords are
+    mapped back to the 320x320 RHD frame (row 5).
+    """
+    net = ColorHandPose3D()
+    cfg = PreprocessConfig(
+        use_wrist_coord=use_wrist_coord, scale_to_size=scale_to_size
+    )
+
+    @jax.jit
+    def step(data):
+        image = data["image"]
+        h, w = image.shape[1:3]
+        image_scaled = resize_bilinear(image, (240, 320))
+        out = net.inference2d(params, image_scaled)
+        coord_uv = out.keypoint_uv21
+        # map predictions back to the dataset frame (eval2d.py:98-99)
+        coord_uv = coord_uv * jnp.asarray([w / 320.0, h / 240.0], jnp.float32)
+        dists = jnp.linalg.norm(data["keypoint_uv21"] - coord_uv, axis=-1)
+        return {"dists": dists, "vis": data["keypoint_vis21"]}
+
+    util = EvalUtil()
+    _run(dataset, cfg, batch_size, step,
+         lambda o: util.feed_batch(o["dists"], o["vis"]), progress)
+    mean, median, auc, curve, thr = util.get_measures(0.0, 30.0, 20)
+    return {"epe_mean_px": mean, "epe_median_px": median, "auc_0_30px": auc,
+            "pck_curve": curve, "thresholds_px": thr}
+
+
+def eval3d_lifting(variant, lifting_params, dataset, batch_size=32,
+                   progress=None):
+    """A lifting variant from GT scoremaps; 3D EPE in meters.
+
+    Reference: eval3d.py (reader :50, pred * keypoint_scale and root-centered
+    GT :88-96, thresholds 0-50mm :101, all keypoints counted visible :98).
+    """
+    net = PosePriorNetwork(variant)
+    cfg = PreprocessConfig(hand_crop=True, use_wrist_coord=False)
+
+    @jax.jit
+    def step(data):
+        out = net.apply(lifting_params, data["scoremap"], data["hand_side"])
+        pred = out.coord_xyz_rel_normed * data["keypoint_scale"][:, None, None]
+        gt = data["keypoint_xyz21"] - data["keypoint_xyz21"][:, :1]
+        dists = jnp.linalg.norm(gt - pred, axis=-1)
+        return {"dists": dists}
+
+    util = EvalUtil()
+    _run(dataset, cfg, batch_size, step,
+         lambda o: util.feed_batch(o["dists"], np.ones_like(o["dists"])),
+         progress)
+    mean, median, auc, curve, thr = util.get_measures(0.0, 0.050, 20)
+    return {"epe_mean_mm": mean * 1000, "epe_median_mm": median * 1000,
+            "auc_0_50mm": auc, "pck_curve": curve, "thresholds_m": thr}
+
+
+def eval_full_pipeline(params, dataset, batch_size=16, progress=None):
+    """Full cascade image -> 3D; EPE mm + AUC(0-50) + AUC(20-50) subset.
+
+    Reference: eval_full.py (240x320 input :50, pred * keypoint_scale,
+    root-centered GT :80-86, thresholds 0-50mm :92, subset curve[8:] :99-101).
+    Works on STB (paper Figure 9) and RHD evaluation sets.
+    """
+    net = ColorHandPose3D()
+    cfg = PreprocessConfig(use_wrist_coord=False)
+
+    @jax.jit
+    def step(data):
+        image_scaled = resize_bilinear(data["image"], (240, 320))
+        out = net.inference(params, image_scaled, data["hand_side"])
+        pred = out.keypoint_coord3d * data["keypoint_scale"][:, None, None]
+        gt = data["keypoint_xyz21"] - data["keypoint_xyz21"][:, :1]
+        dists = jnp.linalg.norm(gt - pred, axis=-1)
+        return {"dists": dists, "vis": data["keypoint_vis21"]}
+
+    util = EvalUtil()
+    _run(dataset, cfg, batch_size, step,
+         lambda o: util.feed_batch(o["dists"], o["vis"]), progress)
+    mean, median, auc, curve, thr = util.get_measures(0.0, 0.050, 20)
+    curve_sub, thr_sub = curve[8:], thr[8:] * 1000.0
+    return {
+        "epe_mean_mm": mean * 1000,
+        "epe_median_mm": median * 1000,
+        "auc_0_50mm": auc,
+        "auc_20_50mm": calc_auc(thr_sub, curve_sub),
+        "pck_curve": curve,
+        "thresholds_m": thr,
+    }

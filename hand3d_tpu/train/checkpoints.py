@@ -1,0 +1,66 @@
+"""Training checkpoints (save / resume / export).
+
+The reference had two mechanisms (SURVEY.md §5): TF Saver snapshots every
+5000 iters (training_posenet.py:92-95) whose optimizer state gets discarded
+on load, and pickled name->ndarray dicts for distribution. Here:
+
+  * full-state snapshots (params + optimizer moments + step) serialize the
+    whole TrainState via flax.serialization msgpack, so training resumes
+    exactly — including Adam moments, which the reference threw away;
+  * ``export_params`` writes a params-only .npz interchangeable with
+    hand3d_tpu.weights (the distribution format).
+"""
+
+import os
+import re
+
+from flax import serialization
+
+from hand3d_tpu.train.trainer import TrainState
+from hand3d_tpu.weights.convert import load_npz, save_npz
+
+_SNAP_RE = re.compile(r"snapshot-(\d+)\.msgpack$")
+
+
+def save_snapshot(directory, state, step=None, keep=1):
+    """Write snapshot-<step>.msgpack into ``directory``; prune old ones."""
+    os.makedirs(directory, exist_ok=True)
+    step = int(step if step is not None else state.step)
+    path = os.path.join(directory, f"snapshot-{step}.msgpack")
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(state))
+    snaps = sorted_snapshots(directory)
+    for old_step, old_path in snaps[:-keep]:
+        os.remove(old_path)
+    return path
+
+
+def sorted_snapshots(directory):
+    out = []
+    if not os.path.isdir(directory):
+        return out
+    for name in os.listdir(directory):
+        m = _SNAP_RE.match(name)
+        if m:
+            out.append((int(m.group(1)), os.path.join(directory, name)))
+    return sorted(out)
+
+
+def latest_snapshot(directory):
+    snaps = sorted_snapshots(directory)
+    return snaps[-1][1] if snaps else None
+
+
+def restore_snapshot(path, template_state):
+    """Restore a TrainState from ``path`` given a same-structure template."""
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template_state, f.read())
+
+
+def export_params(path, params):
+    """Params-only export (.npz), loadable via hand3d_tpu.weights.load_npz."""
+    save_npz(path, params)
+
+
+def import_params(path):
+    return load_npz(path)

@@ -1,0 +1,76 @@
+"""Generic training loop: pipeline -> jitted step -> snapshots/metrics.
+
+Replaces the reference's per-script sess.run loops (training_*.py:85-95)
+with one driver that any stage reuses. Differences by design:
+  * input batches prefetch on a host thread and preprocess on device;
+  * the LR schedule actually advances (the reference never incremented
+    global_step, see hand3d_tpu.train.schedule);
+  * snapshots keep optimizer state and support exact resume.
+"""
+
+import sys
+import time
+
+import jax
+
+from hand3d_tpu.train import checkpoints
+from hand3d_tpu.train.trainer import init_state, make_train_step
+
+
+def fit(
+    loss_fn,
+    params,
+    optimizer,
+    pipeline,
+    max_iter,
+    *,
+    mesh=None,
+    seed=0,
+    show_loss_freq=1000,
+    snapshot_freq=5000,
+    snapshot_dir=None,
+    resume=False,
+    log=print,
+):
+    """Train ``params`` with ``loss_fn(params, batch, key)``.
+
+    Returns the final TrainState. Mirrors the reference loop shape
+    (loss print every 1k, snapshot every 5k, final snapshot at the end).
+    """
+    state = init_state(params, optimizer)
+    start_step = 0
+    if resume and snapshot_dir:
+        latest = checkpoints.latest_snapshot(snapshot_dir)
+        if latest:
+            state = checkpoints.restore_snapshot(latest, state)
+            start_step = int(state.step)
+            log(f"Resumed from {latest} at step {start_step}")
+
+    if mesh is not None:
+        from hand3d_tpu.train.trainer import shard_state
+
+        state = shard_state(mesh, state)
+
+    step_fn = make_train_step(loss_fn, optimizer, mesh=mesh)
+    base_key = jax.random.PRNGKey(seed)
+
+    it = pipeline.iterate(epochs=None)
+    t0 = time.perf_counter()
+    for i in range(start_step, max_iter):
+        batch = next(it)
+        key = jax.random.fold_in(base_key, i)
+        state, metrics = step_fn(state, batch, key)
+
+        if show_loss_freq and (i % show_loss_freq) == 0:
+            loss_v = float(metrics["loss"])
+            rate = (i - start_step + 1) / (time.perf_counter() - t0)
+            log(f"Iteration {i}\t Loss {loss_v:.1e}\t {rate:.1f} it/s")
+            sys.stdout.flush()
+
+        if snapshot_dir and snapshot_freq and (i % snapshot_freq) == 0 and i > 0:
+            checkpoints.save_snapshot(snapshot_dir, state, step=i)
+            log("Saved a snapshot.")
+
+    if snapshot_dir:
+        checkpoints.save_snapshot(snapshot_dir, state, step=max_iter)
+    return state
