@@ -48,7 +48,7 @@ class InputPipeline:
     """
 
     def __init__(self, dataset, cfg, batch_size, shuffle=True, seed=0,
-                 sharding=None, prefetch=2):
+                 sharding=None, prefetch=2, use_native=False):
         self.dataset = dataset
         self.cfg = cfg
         self.batch_size = batch_size
@@ -56,6 +56,7 @@ class InputPipeline:
         self.seed = seed
         self.sharding = sharding
         self.prefetch = prefetch
+        self.use_native = use_native
         self._preprocess = (
             preprocess_rhd if isinstance(dataset, RHDDataset) else preprocess_stb
         )
@@ -68,6 +69,11 @@ class InputPipeline:
 
     def iterate(self, epochs=None, start_epoch=0):
         """Yield feature dicts; ``epochs=None`` iterates forever."""
+        if self.use_native:
+            native_it = self._iterate_native(epochs)
+            if native_it is not None:
+                yield from native_it
+                return
         q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -113,3 +119,51 @@ class InputPipeline:
                     q.get_nowait()
                 except queue.Empty:
                     break
+
+    def _iterate_native(self, epochs):
+        """C++ streamer path: shuffling, pread and batch assembly happen on
+        native threads (see native/recordio.cpp). Returns None if the native
+        library can't be built/loaded, so iterate() falls back to the
+        threaded-memmap path."""
+        try:
+            from hand3d_tpu.data.native import NativeRecordReader, NativeUnavailable
+        except Exception:
+            return None
+        try:
+            reader = NativeRecordReader(
+                self.dataset.path, self.dataset.records.dtype, self.batch_size,
+                shuffle=self.shuffle, seed=self.seed,
+                queue_capacity=max(2, self.prefetch),
+            )
+        except Exception:
+            return None
+
+        def gen():
+            base_key = jax.random.PRNGKey(self.seed)
+            steps_per_epoch = max(1, self.steps_per_epoch())
+            try:
+                reader.reset(-1 if epochs is None else epochs)
+                step_total = 0
+                while True:
+                    item = reader.next_batch()
+                    if item is None:
+                        return
+                    recs, _ = item
+                    raw = self.dataset.raw_from_records(recs)
+                    if self.sharding is not None:
+                        raw = jax.device_put(
+                            raw,
+                            jax.tree_util.tree_map(lambda _: self.sharding, raw),
+                        )
+                    key = None
+                    if self.cfg.needs_rng:
+                        epoch, step = divmod(step_total, steps_per_epoch)
+                        key = jax.random.fold_in(
+                            jax.random.fold_in(base_key, epoch), step
+                        )
+                    step_total += 1
+                    yield self._preprocess(self.cfg, raw, key)
+            finally:
+                reader.close()
+
+        return gen()

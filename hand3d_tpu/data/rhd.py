@@ -32,9 +32,8 @@ class RHDDataset:
     def __len__(self):
         return self.num_samples
 
-    def raw_batch(self, indices):
-        """Materialize records as a dict of numpy arrays (host-side only)."""
-        recs = self.records.gather(indices)
+    @staticmethod
+    def raw_from_records(recs):
         return {
             "kp_xyz": recs["kp_xyz"],
             "kp_uv": recs["kp_uv"],
@@ -43,3 +42,7 @@ class RHDDataset:
             "hand_parts": recs["hand_parts"],
             "kp_vis": recs["kp_vis"],
         }
+
+    def raw_batch(self, indices):
+        """Materialize records as a dict of numpy arrays (host-side only)."""
+        return self.raw_from_records(self.records.gather(indices))

@@ -23,10 +23,13 @@ class STBDataset:
     def __len__(self):
         return self.num_samples
 
-    def raw_batch(self, indices):
-        recs = self.records.gather(indices)
+    @staticmethod
+    def raw_from_records(recs):
         return {
             "kp_xyz": recs["kp_xyz"],
             "kp_uv_vis": recs["kp_uv_vis"],
             "image": recs["image"],
         }
+
+    def raw_batch(self, indices):
+        return self.raw_from_records(self.records.gather(indices))

@@ -213,3 +213,13 @@ def test_pipeline_iterates_and_is_deterministic(rhd_left):
         np.testing.assert_allclose(
             np.asarray(a["keypoint_uv21"]), np.asarray(b["keypoint_uv21"])
         )
+
+
+def test_pipeline_native_backend(rhd_left):
+    cfg = PreprocessConfig(hand_crop=True)
+    pipe = InputPipeline(rhd_left, cfg, batch_size=2, shuffle=True, seed=3,
+                         use_native=True)
+    batches = list(pipe.iterate(epochs=1))
+    assert len(batches) == 2
+    for b in batches:
+        assert b["image_crop"].shape == (2, 256, 256, 3)
