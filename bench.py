@@ -14,9 +14,14 @@ The benchmarked program is the complete pipeline of run.py/eval_full.py —
 HandSegNet on a 240x320 frame, blob extraction + bbox + 256x256 crop,
 PoseNet, PosePrior+ViewpointNet, keypoint decode — as one jitted batched
 program (weights are randomly initialized; FLOPs and memory traffic are
-identical to converted weights). Timing blocks on every iteration's results
-(successive calls are data-independent, so blocking only on the final result
-would not serialize the device work).
+identical to converted weights).
+
+Timing methodology: on this platform block_until_ready can return before
+execution finishes (remote-device semantics), so naive loops measure
+dispatch, not compute. We therefore chain N data-dependent cascade
+iterations inside one jitted lax.scan, force completion by fetching the
+scalar result, and take the differential (t_N - t_1) / (N - 1) as device
+time per batch.
 """
 
 import json
@@ -25,31 +30,46 @@ import time
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
-def bench_cascade(batch=32, iters=20, warmup=3, compute_dtype=None):
+def _chained(net, n):
+    @jax.jit
+    def fn(params, image, hand_side):
+        def body(carry, _):
+            out = net.inference(params, image + carry * 0.0, hand_side)
+            return jnp.sum(out.keypoint_coord3d) * 1e-9, ()
+
+        s, _ = lax.scan(body, jnp.float32(0.0), None, length=n)
+        return s
+
+    return fn
+
+
+def bench_cascade(batch=32, chain=16, trials=3, compute_dtype=None):
     from hand3d_tpu.models.cascade import ColorHandPose3D
 
     net = ColorHandPose3D(compute_dtype=compute_dtype)
     params = net.init(jax.random.PRNGKey(0))
+    image = jax.device_put(
+        jax.random.uniform(jax.random.PRNGKey(1), (batch, 240, 320, 3)) - 0.5
+    )
+    hand_side = jax.device_put(jnp.tile(jnp.asarray([[1.0, 0.0]]), (batch, 1)))
 
-    @jax.jit
-    def fwd(params, image, hand_side):
-        out = net.inference(params, image, hand_side)
-        return out.keypoint_coord3d, out.keypoint_uv21
+    c1, cn = _chained(net, 1), _chained(net, chain)
+    float(c1(params, image, hand_side))  # compile + run
+    float(cn(params, image, hand_side))
 
-    image = jax.random.uniform(jax.random.PRNGKey(1), (batch, 240, 320, 3)) - 0.5
-    hand_side = jnp.tile(jnp.asarray([[1.0, 0.0]]), (batch, 1))
-    image, hand_side = jax.device_put((image, hand_side))
+    def best(fn):
+        times = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(fn(params, image, hand_side))  # fetch forces completion
+            times.append(time.perf_counter() - t0)
+        return min(times)
 
-    for _ in range(warmup):
-        jax.block_until_ready(fwd(params, image, hand_side))
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        jax.block_until_ready(fwd(params, image, hand_side))
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+    per_batch = (best(cn) - best(c1)) / (chain - 1)
+    return batch / per_batch
 
 
 def main():

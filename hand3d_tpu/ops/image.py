@@ -62,23 +62,34 @@ def resize_bilinear(x, out_hw, align_corners=False):
 
 
 def _axis_sample(x, axis, in_size, lo_f, frac, valid, extrapolation_value):
-    """Gather + lerp along ``axis`` with per-batch dynamic indices.
+    """Per-batch dynamic bilinear sampling along ``axis``, as a matmul.
 
     x: [B, ..., C]; lo_f/frac/valid: [B, out_size] float/bool.
+
+    Instead of a dynamic gather (take_along_axis with per-sample indices
+    lowers to a general gather, which measured ~250 ms/batch on TPU v5e —
+    two orders of magnitude over everything else in the cascade), build a
+    sparse-in-dense interpolation matrix W[b, out, in] with (1 - frac) at
+    floor(pos) and frac at ceil(pos), zeroed where the sample falls outside
+    the image, and contract it with the image on the MXU. Arithmetic is
+    identical to the two-tap lerp (the extra terms are exact zeros).
     """
     lo = jnp.clip(lo_f, 0, in_size - 1).astype(jnp.int32)
     hi = jnp.clip(lo_f + 1.0, 0, in_size - 1).astype(jnp.int32)
-    shape = [x.shape[0]] + [1] * (x.ndim - 1)
-    shape[axis] = lo.shape[1]
+    iota = jnp.arange(in_size, dtype=jnp.int32)[None, None, :]
+    w = (iota == lo[:, :, None]) * (1.0 - frac)[:, :, None]
+    # where lo == hi (integer or clipped positions) the taps coincide and
+    # the weights must sum, matching top*(1-f) + bottom*f with top == bottom
+    w = w + (iota == hi[:, :, None]) * frac[:, :, None]
+    w = jnp.where(valid[:, :, None], w, 0.0).astype(x.dtype)
 
-    def take(idx):
-        idx = idx.reshape(shape)
-        idx = jnp.broadcast_to(idx, tuple(shape[:axis]) + (idx.shape[axis],) + x.shape[axis + 1 :])
-        return jnp.take_along_axis(x, idx, axis=axis)
-
-    frac = frac.reshape(shape)
-    out = take(lo) * (1.0 - frac) + take(hi) * frac
-    return jnp.where(valid.reshape(shape), out, extrapolation_value)
+    x_moved = jnp.moveaxis(x, axis, 1)  # [B, in, ...]
+    out = jnp.einsum("boi,bi...->bo...", w, x_moved,
+                     preferred_element_type=jnp.float32)
+    if extrapolation_value != 0.0:
+        fill = jnp.where(valid, 0.0, extrapolation_value)  # [B, out]
+        out = out + fill.reshape(fill.shape + (1,) * (out.ndim - 2))
+    return jnp.moveaxis(out, 1, axis)
 
 
 def crop_and_resize(image, boxes, crop_size, extrapolation_value=0.0):
