@@ -76,12 +76,16 @@ def main():
     dtype = None
     if os.environ.get("HAND3D_BENCH_DTYPE", "bf16") == "bf16":
         dtype = jnp.bfloat16
+    import sys
+    import traceback
+
     fps = None
     for batch in (32, 16, 8, 4, 1):
         try:
             fps = bench_cascade(batch=batch, compute_dtype=dtype)
             break
         except Exception:
+            traceback.print_exc(file=sys.stderr)
             continue
     if fps is None:
         raise SystemExit("bench failed at all batch sizes")

@@ -39,7 +39,7 @@ def _maxpool_same(x, size):
     return x
 
 
-def single_obj_scoremap(scoremap, num_passes=None):
+def single_obj_scoremap(scoremap, num_passes=None, method="auto"):
     """Keep only the connected foreground blob containing the global maximum.
 
     Mirrors utils/general.single_obj_scoremap (:233-268): softmax over
@@ -54,18 +54,28 @@ def single_obj_scoremap(scoremap, num_passes=None):
       scoremap: [B, H, W, C] segmentation logits (C >= 2, channel 0 = bg).
       num_passes: dilation pass count; defaults to the reference's
         max(H, W) // 10 (general.py:256).
+      method: "pallas" (VMEM-resident flood-fill kernel with early exit,
+        see ops/pallas/floodfill.py), "xla" (fori_loop over separable
+        reduce_windows), or "auto" (pallas on TPU, xla elsewhere).
     Returns:
       [B, H, W, 1] float32 binary object map.
     """
     b, h, w, c = scoremap.shape
     if num_passes is None:
         num_passes = max(h, w) // (_DILATION_FILTER_SIZE // 2)
+    if method == "auto":
+        method = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     probs = jax.nn.softmax(scoremap, axis=-1)
     fg = jnp.max(probs[..., 1:], axis=-1)  # [B, H, W]
     detmap = jnp.round(fg)
-
     max_loc = find_max_location(fg)  # [B, 2]
+
+    if method == "pallas":
+        from hand3d_tpu.ops.pallas.floodfill import flood_fill_pallas
+
+        return flood_fill_pallas(detmap, max_loc, num_passes)[..., None]
+
     rows = jnp.arange(h, dtype=jnp.int32)[None, :, None]
     cols = jnp.arange(w, dtype=jnp.int32)[None, None, :]
     seed = (

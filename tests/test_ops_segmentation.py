@@ -85,3 +85,27 @@ def test_trafo_coords():
     out = np.asarray(trafo_coords(coords, centers, 2.0, 256))
     np.testing.assert_allclose(out[0, 0], [100.0, 50.0])
     np.testing.assert_allclose(out[0, 1], [100.0 - 64.0, 50.0 + 64.0])
+
+
+def test_single_obj_scoremap_pallas_matches_xla(rng):
+    """The Pallas flood-fill kernel (interpreter mode on CPU) must agree
+    with the XLA reduce_window formulation on random multi-blob masks."""
+    import jax.numpy as jnp2
+
+    logits = _two_blob_logits()
+    logits[0, 12, 16:40, 1] = 10.0  # bridge
+    for lg in (logits, _two_blob_logits()):
+        a = np.asarray(single_obj_scoremap(jnp.asarray(lg), method="xla"))
+        b = np.asarray(single_obj_scoremap(jnp.asarray(lg), method="pallas"))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_flood_fill_pallas_early_exit_same_result():
+    from hand3d_tpu.ops.pallas.floodfill import flood_fill_pallas
+
+    det = np.zeros((1, 64, 64), np.float32)
+    det[0, 10:20, 10:20] = 1.0
+    seed = np.array([[12, 12]], np.int32)
+    # far more passes than needed -> converged result, not over-grown
+    out = np.asarray(flood_fill_pallas(jnp.asarray(det), jnp.asarray(seed), 50))
+    np.testing.assert_array_equal(out, det)
