@@ -1,0 +1,97 @@
+"""CLI smoke tests: each entry point runs end to end on synthetic data."""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import pytest
+
+from hand3d_tpu.models import posenet
+from hand3d_tpu.weights import save_npz
+
+from fixtures import make_rhd_bin, make_stb_bin
+
+
+@pytest.fixture(scope="module")
+def rhd_bin(tmp_path_factory):
+    path = tmp_path_factory.mktemp("cli") / "rhd.bin"
+    make_rhd_bin(path, num_records=3)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def stb_bin(tmp_path_factory):
+    path = tmp_path_factory.mktemp("cli") / "stb.bin"
+    make_stb_bin(path, num_records=2)
+    return str(path)
+
+
+def _run_main(module, argv, monkeypatch):
+    monkeypatch.setattr(sys, "argv", ["prog"] + argv)
+    module.main()
+
+
+def test_cli_eval2d_gt_cropped(rhd_bin, monkeypatch, capsys):
+    from hand3d_tpu.cli import eval2d_gt_cropped as cli
+
+    _run_main(cli, ["--data", rhd_bin, "--batch-size", "2"], monkeypatch)
+    out = capsys.readouterr().out
+    assert "Average mean EPE" in out
+
+
+def test_cli_eval3d(rhd_bin, monkeypatch, capsys):
+    from hand3d_tpu.cli import eval3d as cli
+
+    _run_main(
+        cli, ["--data", rhd_bin, "--batch-size", "2", "--variant", "direct"],
+        monkeypatch,
+    )
+    assert "Evaluation results for direct" in capsys.readouterr().out
+
+
+def test_cli_eval_full_stb(stb_bin, tmp_path, monkeypatch, capsys):
+    from hand3d_tpu.cli import eval_full as cli
+
+    plot = str(tmp_path / "fig9.png")
+    _run_main(
+        cli,
+        ["--dataset", "stb", "--data", stb_bin, "--batch-size", "2",
+         "--plot", plot],
+        monkeypatch,
+    )
+    out = capsys.readouterr().out
+    assert "Area under curve between 20mm - 50mm" in out
+    assert os.path.exists(plot)
+
+
+def test_cli_train_posenet_with_npz_weights(rhd_bin, tmp_path, monkeypatch,
+                                            capsys):
+    from hand3d_tpu.cli import train_posenet as cli
+
+    weights = str(tmp_path / "warm.npz")
+    save_npz(weights, {"PoseNet2D": posenet.init(jax.random.PRNGKey(7))})
+    snap_dir = str(tmp_path / "snaps")
+    _run_main(
+        cli,
+        ["--data", rhd_bin, "--batch-size", "2", "--max-iter", "2",
+         "--weights", weights, "--snapshot-dir", snap_dir,
+         "--snapshot-freq", "0"],
+        monkeypatch,
+    )
+    assert os.path.exists(os.path.join(snap_dir, "snapshot-2.msgpack"))
+
+
+def test_cli_demo(tmp_path, monkeypatch, capsys):
+    from hand3d_tpu.cli import demo as cli
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.image as mpimg
+
+    img_path = str(tmp_path / "hand.png")
+    rng = np.random.RandomState(0)
+    mpimg.imsave(img_path, rng.rand(60, 80, 3))
+    _run_main(cli, [img_path, "--out-dir", str(tmp_path)], monkeypatch)
+    assert os.path.exists(str(tmp_path / "hand_pose.png"))
