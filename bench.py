@@ -80,7 +80,7 @@ def main():
     import traceback
 
     fps = None
-    for batch in (32, 16, 8, 4, 1):
+    for batch in (128, 32, 16, 8, 4, 1):
         try:
             fps = bench_cascade(batch=batch, compute_dtype=dtype)
             break

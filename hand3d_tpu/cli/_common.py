@@ -52,3 +52,24 @@ def base_parser(description):
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     return p
+
+
+def add_mesh_arg(parser):
+    parser.add_argument(
+        "--mesh", default=None, metavar="DATAxMODEL",
+        help="Device mesh, e.g. '8x1' (data-parallel over 8 chips) or "
+        "'4x2' (DP x tensor-parallel). 'auto' = all devices data-parallel. "
+        "Default: single device.",
+    )
+
+
+def build_mesh(spec):
+    """'auto' | 'NxM' -> jax.sharding.Mesh (or None for single device)."""
+    if spec is None:
+        return None
+    from hand3d_tpu.parallel import make_mesh
+
+    if spec == "auto":
+        return make_mesh()
+    n_data, n_model = (int(x) for x in spec.lower().split("x"))
+    return make_mesh(n_data, n_model)

@@ -7,7 +7,13 @@ Reference hyperparameters (training_handsegnet.py:29-39): batch 8, Adam, LR
 
 import jax
 
-from hand3d_tpu.cli._common import add_weights_arg, base_parser, load_weight_trees
+from hand3d_tpu.cli._common import (
+    add_mesh_arg,
+    add_weights_arg,
+    base_parser,
+    build_mesh,
+    load_weight_trees,
+)
 from hand3d_tpu.data.config import PreprocessConfig
 from hand3d_tpu.data.pipeline import InputPipeline
 from hand3d_tpu.data.rhd import RHDDataset
@@ -32,11 +38,19 @@ def main():
     p.add_argument("--snapshot-dir", default="snapshots_handsegnet")
     p.add_argument("--snapshot-freq", type=int, default=5000)
     p.add_argument("--resume", action="store_true")
+    add_mesh_arg(p)
     args = p.parse_args()
 
     dataset = RHDDataset("training", path=args.data)
     cfg = PreprocessConfig(hue_aug=True, random_crop_to_size=True)
-    pipeline = InputPipeline(dataset, cfg, args.batch_size, seed=args.seed)
+    mesh = build_mesh(args.mesh)
+    sharding = None
+    if mesh is not None:
+        from hand3d_tpu.parallel import batch_sharding
+
+        sharding = batch_sharding(mesh)
+    pipeline = InputPipeline(dataset, cfg, args.batch_size, seed=args.seed,
+                             sharding=sharding)
 
     params = {handsegnet.SCOPE: handsegnet.init(jax.random.PRNGKey(args.seed))}
     if args.weights:
@@ -47,7 +61,7 @@ def main():
     optimizer = make_optimizer(args.lr, args.lr_iter)
     fit(
         loss_fn, params, optimizer, pipeline, args.max_iter,
-        seed=args.seed, snapshot_dir=args.snapshot_dir,
+        mesh=mesh, seed=args.seed, snapshot_dir=args.snapshot_dir,
         snapshot_freq=args.snapshot_freq, resume=args.resume,
     )
 

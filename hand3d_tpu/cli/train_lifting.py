@@ -8,7 +8,13 @@ depends on the variant (see hand3d_tpu.train.losses.lifting_loss).
 
 import jax
 
-from hand3d_tpu.cli._common import add_weights_arg, base_parser, load_weight_trees
+from hand3d_tpu.cli._common import (
+    add_mesh_arg,
+    add_weights_arg,
+    base_parser,
+    build_mesh,
+    load_weight_trees,
+)
 from hand3d_tpu.data.config import PreprocessConfig
 from hand3d_tpu.data.pipeline import InputPipeline
 from hand3d_tpu.data.rhd import RHDDataset
@@ -29,6 +35,7 @@ def main():
     p.add_argument("--snapshot-dir", default=None)
     p.add_argument("--snapshot-freq", type=int, default=5000)
     p.add_argument("--resume", action="store_true")
+    add_mesh_arg(p)
     args = p.parse_args()
     snapshot_dir = args.snapshot_dir or f"snapshots_lifting_{args.variant}"
 
@@ -38,7 +45,14 @@ def main():
         coord_uv_noise=True, crop_center_noise=True,
         crop_offset_noise=True, crop_scale_noise=True,
     )
-    pipeline = InputPipeline(dataset, cfg, args.batch_size, seed=args.seed)
+    mesh = build_mesh(args.mesh)
+    sharding = None
+    if mesh is not None:
+        from hand3d_tpu.parallel import batch_sharding
+
+        sharding = batch_sharding(mesh)
+    pipeline = InputPipeline(dataset, cfg, args.batch_size, seed=args.seed,
+                             sharding=sharding)
 
     net = PosePriorNetwork(args.variant)
     params = net.init(jax.random.PRNGKey(args.seed))
@@ -57,7 +71,7 @@ def main():
     optimizer = make_optimizer(args.lr, args.lr_iter)
     fit(
         loss_fn, params, optimizer, pipeline, args.max_iter,
-        seed=args.seed, snapshot_dir=snapshot_dir,
+        mesh=mesh, seed=args.seed, snapshot_dir=snapshot_dir,
         snapshot_freq=args.snapshot_freq, resume=args.resume,
     )
 

@@ -8,7 +8,13 @@ prediction heads. Optionally warm-starts from converted CPM weights.
 
 import jax
 
-from hand3d_tpu.cli._common import add_weights_arg, base_parser, load_weight_trees
+from hand3d_tpu.cli._common import (
+    add_mesh_arg,
+    add_weights_arg,
+    base_parser,
+    build_mesh,
+    load_weight_trees,
+)
 from hand3d_tpu.data.config import PreprocessConfig
 from hand3d_tpu.data.pipeline import InputPipeline
 from hand3d_tpu.data.rhd import RHDDataset
@@ -33,14 +39,26 @@ def main():
     p.add_argument("--snapshot-dir", default="snapshots_posenet")
     p.add_argument("--snapshot-freq", type=int, default=5000)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--crop-size", type=int, default=256,
+                   help="GT crop resolution (reference: 256); smaller "
+                        "values are useful for smoke tests")
+    add_mesh_arg(p)
     args = p.parse_args()
 
     dataset = RHDDataset("training", path=args.data)
     cfg = PreprocessConfig(
         use_wrist_coord=False, hand_crop=True,
         coord_uv_noise=True, crop_center_noise=True,
+        crop_size=args.crop_size,
     )
-    pipeline = InputPipeline(dataset, cfg, args.batch_size, seed=args.seed)
+    mesh = build_mesh(args.mesh)
+    sharding = None
+    if mesh is not None:
+        from hand3d_tpu.parallel import batch_sharding
+
+        sharding = batch_sharding(mesh)
+    pipeline = InputPipeline(dataset, cfg, args.batch_size, seed=args.seed,
+                             sharding=sharding)
 
     params = {posenet.SCOPE: posenet.init(jax.random.PRNGKey(args.seed))}
     if args.weights:
@@ -53,7 +71,7 @@ def main():
     optimizer = make_optimizer(args.lr, args.lr_iter)
     fit(
         loss_fn, params, optimizer, pipeline, args.max_iter,
-        seed=args.seed, snapshot_dir=args.snapshot_dir,
+        mesh=mesh, seed=args.seed, snapshot_dir=args.snapshot_dir,
         snapshot_freq=args.snapshot_freq, resume=args.resume,
     )
 

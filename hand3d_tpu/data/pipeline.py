@@ -62,13 +62,20 @@ class InputPipeline:
         )
 
     def steps_per_epoch(self):
-        return len(self.dataset) // self.batch_size
+        steps = len(self.dataset) // self.batch_size
+        if steps == 0:
+            raise ValueError(
+                f"batch_size {self.batch_size} exceeds dataset size "
+                f"{len(self.dataset)}: every epoch would yield zero batches"
+            )
+        return steps
 
     def __iter__(self):
         return self.iterate(epochs=1)
 
     def iterate(self, epochs=None, start_epoch=0):
         """Yield feature dicts; ``epochs=None`` iterates forever."""
+        self.steps_per_epoch()  # validate batch size vs dataset up front
         if self.use_native:
             native_it = self._iterate_native(epochs)
             if native_it is not None:

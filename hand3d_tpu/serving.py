@@ -1,0 +1,84 @@
+"""Serving API: a padded-batch, fixed-shape hand-pose estimator.
+
+The reference's only "serving" story was run.py's one-image sess.run loop.
+This wraps the cascade for production use: one compiled program per
+(batch, height, width) bucket, automatic padding of partial batches, numpy
+in / numpy out, and optional bf16 compute.
+
+Example:
+    est = HandPoseEstimator.from_npz("weights.npz", batch_size=32)
+    out = est.predict(images)          # [N, H, W, 3] uint8 or float
+    out["keypoint_uv21"], out["keypoint_coord3d"], out["hand_scoremap"]
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hand3d_tpu.models.cascade import ColorHandPose3D
+from hand3d_tpu.weights import load_npz
+
+
+class HandPoseEstimator:
+    def __init__(self, params, batch_size=16, input_hw=(240, 320),
+                 compute_dtype=None, left_hand=True):
+        self.net = ColorHandPose3D(compute_dtype=compute_dtype)
+        self.params = jax.device_put(params)
+        self.batch_size = batch_size
+        self.input_hw = tuple(input_hw)
+        self.hand_side = jnp.tile(
+            jnp.asarray([[1.0, 0.0]] if left_hand else [[0.0, 1.0]]),
+            (batch_size, 1),
+        )
+
+        @jax.jit
+        def _fwd(params, image, hand_side):
+            out = self.net.inference(params, image, hand_side)
+            return {
+                "keypoint_coord3d": out.keypoint_coord3d,
+                "keypoint_uv21": out.keypoint_uv21,
+                "hand_scoremap": out.hand_scoremap,
+                "scale_crop": out.scale_crop,
+                "center": out.center,
+            }
+
+        self._fwd = _fwd
+
+    @classmethod
+    def from_npz(cls, path, **kwargs):
+        return cls(load_npz(path), **kwargs)
+
+    def warmup(self):
+        """Compile ahead of serving traffic."""
+        dummy = np.zeros((self.batch_size, *self.input_hw, 3), np.float32)
+        jax.block_until_ready(
+            self._fwd(self.params, jnp.asarray(dummy), self.hand_side)
+        )
+        return self
+
+    def predict(self, images):
+        """images: [N, H, W, 3], uint8 in [0,255] or float in [0,1] or
+        mean-subtracted float. Returns dict of numpy arrays with leading N."""
+        images = np.asarray(images)
+        if images.dtype == np.uint8:
+            images = images.astype(np.float32) / 255.0 - 0.5
+        elif images.min() >= 0.0 and images.max() <= 1.0:
+            images = images.astype(np.float32) - 0.5
+        n = images.shape[0]
+        assert images.shape[1:3] == self.input_hw, (
+            f"expected {self.input_hw} input, got {images.shape[1:3]}; "
+            "resize on the client or build a second estimator bucket"
+        )
+
+        outs = []
+        for start in range(0, n, self.batch_size):
+            chunk = images[start : start + self.batch_size]
+            valid = chunk.shape[0]
+            if valid < self.batch_size:
+                pad = np.zeros(
+                    (self.batch_size - valid, *chunk.shape[1:]), chunk.dtype
+                )
+                chunk = np.concatenate([chunk, pad])
+            out = self._fwd(self.params, jnp.asarray(chunk), self.hand_side)
+            outs.append({k: np.asarray(v)[:valid] for k, v in out.items()})
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}

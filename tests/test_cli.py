@@ -95,3 +95,37 @@ def test_cli_demo(tmp_path, monkeypatch, capsys):
     mpimg.imsave(img_path, rng.rand(60, 80, 3))
     _run_main(cli, [img_path, "--out-dir", str(tmp_path)], monkeypatch)
     assert os.path.exists(str(tmp_path / "hand_pose.png"))
+
+
+def test_cli_train_posenet_mesh_4x2(tmp_path, monkeypatch):
+    """DP x TP training through the CLI on the virtual 8-device mesh."""
+    from hand3d_tpu.cli import train_posenet as cli
+
+    # batch 4 shards over the data axis, so the fixture needs >= 4 records
+    bin_path = str(tmp_path / "rhd4.bin")
+    make_rhd_bin(bin_path, num_records=4)
+    snap_dir = str(tmp_path / "snaps_mesh")
+    _run_main(
+        cli,
+        ["--data", bin_path, "--batch-size", "4", "--max-iter", "2",
+         "--mesh", "4x2", "--crop-size", "32",
+         "--snapshot-dir", snap_dir, "--snapshot-freq", "0"],
+        monkeypatch,
+    )
+    assert os.path.exists(os.path.join(snap_dir, "snapshot-2.msgpack"))
+
+
+def test_serving_estimator(monkeypatch):
+    from hand3d_tpu.serving import HandPoseEstimator
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+
+    net = ColorHandPose3D()
+    params = net.init(jax.random.PRNGKey(0))
+    est = HandPoseEstimator(params, batch_size=2, input_hw=(120, 160))
+    images = (np.random.RandomState(0).rand(3, 120, 160, 3) * 255).astype(
+        np.uint8
+    )  # 3 images -> one full batch + one padded batch
+    out = est.predict(images)
+    assert out["keypoint_coord3d"].shape == (3, 21, 3)
+    assert out["keypoint_uv21"].shape == (3, 21, 2)
+    assert out["hand_scoremap"].shape == (3, 120, 160, 2)
