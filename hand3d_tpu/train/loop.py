@@ -63,6 +63,13 @@ def fit(
 
         if show_loss_freq and (i % show_loss_freq) == 0:
             loss_v = float(metrics["loss"])
+            if not (loss_v == loss_v and abs(loss_v) != float("inf")):
+                # failure detection: save state for post-mortem, then stop
+                if snapshot_dir:
+                    checkpoints.save_snapshot(snapshot_dir, state, step=i)
+                raise FloatingPointError(
+                    f"non-finite loss {loss_v} at iteration {i}"
+                )
             rate = (i - start_step + 1) / (time.perf_counter() - t0)
             log(f"Iteration {i}\t Loss {loss_v:.1e}\t {rate:.1f} it/s")
             sys.stdout.flush()

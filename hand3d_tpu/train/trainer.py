@@ -35,12 +35,16 @@ def init_state(params, optimizer):
     return TrainState(params, optimizer.init(params), jax.numpy.zeros((), jax.numpy.int32))
 
 
-def make_train_step(loss_fn, optimizer, mesh=None, donate=True):
+def make_train_step(loss_fn, optimizer, mesh=None, donate=True, remat=False):
     """Build a jitted train step for ``loss_fn(params, batch, key) -> scalar``.
 
     If ``mesh`` is given, params/opt state use the TP sharding rules and the
     batch is expected sharded over the "data" axis; otherwise single-device.
+    ``remat=True`` wraps the loss in jax.checkpoint, trading recompute for
+    activation memory (useful for large batches/resolutions on one chip).
     """
+    if remat:
+        loss_fn = jax.checkpoint(loss_fn)
 
     def step(state, batch, key):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)

@@ -123,3 +123,40 @@ def test_dryrun_multichip_8_devices():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_debug_finite_checks():
+    from hand3d_tpu.utils.debug import all_finite, check_finite_pytree
+    import pytest as _pytest
+
+    good = {"a": jnp.ones((3,)), "b": {"c": jnp.zeros((2, 2))}}
+    assert bool(all_finite(good))
+    bad = {"a": jnp.asarray([1.0, float("nan")])}
+    assert not bool(all_finite(bad))
+    check_finite_pytree(good)
+    with _pytest.raises(FloatingPointError, match="a"):
+        check_finite_pytree(bad, name="params")
+
+
+def test_train_step_with_remat(rng):
+    params = {"PoseNet2D": posenet.init(jax.random.PRNGKey(0))}
+    batch = {
+        "image_crop": jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) - 0.5),
+        "scoremap": jnp.asarray(rng.rand(2, 32, 32, 21).astype(np.float32)),
+        "keypoint_vis21": jnp.ones((2, 21)),
+    }
+
+    def loss_fn(params, batch, key):
+        preds = posenet.apply(params["PoseNet2D"], batch["image_crop"])
+        return posenet_scoremap_loss(preds, batch["scoremap"], batch["keypoint_vis21"])
+
+    optimizer = make_optimizer([1e-3], [])
+    state = init_state(params, optimizer)
+    step_plain = make_train_step(loss_fn, optimizer, donate=False)
+    step_remat = make_train_step(loss_fn, optimizer, donate=False, remat=True)
+    key = jax.random.PRNGKey(0)
+    _, m_plain = step_plain(state, batch, key)
+    _, m_remat = step_remat(state, batch, key)
+    np.testing.assert_allclose(
+        float(m_plain["loss"]), float(m_remat["loss"]), rtol=1e-6
+    )
