@@ -25,6 +25,10 @@ class PreprocessConfig:
     crop_scale_noise: bool = False
     crop_offset_noise: bool = False
     scoremap_dropout: bool = False
+    # skip rendering GT scoremaps entirely (not in the reference, which
+    # always built them into the graph; harnesses that never read them —
+    # eval2d full-image, eval_full — save the [B, H, W, 21] render)
+    render_scoremap: bool = True
 
     # constants of the reference implementation
     crop_size: int = 256

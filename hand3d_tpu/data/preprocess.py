@@ -295,9 +295,10 @@ def preprocess_rhd(cfg, raw, key=None):
         scoremap_size = (cfg.crop_size, cfg.crop_size)
     else:
         scoremap_size = RHD_IMAGE_SIZE
-    data["scoremap"] = _scoremap_features(
-        cfg, ks[5], data["keypoint_uv21"], vis21, scoremap_size
-    )
+    if cfg.render_scoremap:
+        data["scoremap"] = _scoremap_features(
+            cfg, ks[5], data["keypoint_uv21"], vis21, scoremap_size
+        )
 
     return data
 
@@ -380,7 +381,8 @@ def preprocess_stb(cfg, raw, key=None):
         scoremap_size = (cfg.crop_size, cfg.crop_size)
     else:
         scoremap_size = STB_IMAGE_SIZE
-    data["scoremap"] = _scoremap_features(
-        cfg, ks[5], data["keypoint_uv21"], vis21, scoremap_size
-    )
+    if cfg.render_scoremap:
+        data["scoremap"] = _scoremap_features(
+            cfg, ks[5], data["keypoint_uv21"], vis21, scoremap_size
+        )
     return data

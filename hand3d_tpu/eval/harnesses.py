@@ -98,7 +98,8 @@ def eval2d_full_image(params, dataset, batch_size=16, use_wrist_coord=True,
     """
     net = ColorHandPose3D()
     cfg = PreprocessConfig(
-        use_wrist_coord=use_wrist_coord, scale_to_size=scale_to_size
+        use_wrist_coord=use_wrist_coord, scale_to_size=scale_to_size,
+        render_scoremap=False,
     )
 
     @jax.jit
@@ -156,7 +157,7 @@ def eval_full_pipeline(params, dataset, batch_size=16, progress=None):
     Works on STB (paper Figure 9) and RHD evaluation sets.
     """
     net = ColorHandPose3D()
-    cfg = PreprocessConfig(use_wrist_coord=False)
+    cfg = PreprocessConfig(use_wrist_coord=False, render_scoremap=False)
 
     @jax.jit
     def step(data):
