@@ -66,6 +66,12 @@ def max_pool_2x2(x):
 def avg_pool(x, size, stride=None, padding="SAME"):
     """Average pool (used for the 8x scoremap pooling, PosePriorNetwork.py:61)."""
     stride = stride or size
+    # SAME with evenly tiling windows is VALID; skip the per-position count
+    # normalization (whose reduce_window-over-ones constant-folds for
+    # seconds at compile time)
+    if padding == "SAME" and x.shape[1] % stride == 0 and x.shape[2] % stride == 0 \
+            and size == stride:
+        padding = "VALID"
     summed = jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, size, size, 1), (1, stride, stride, 1), padding
     )
