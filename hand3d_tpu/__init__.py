@@ -26,3 +26,20 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level API so `import hand3d_tpu` stays cheap
+    if name == "ColorHandPose3D":
+        from hand3d_tpu.models.cascade import ColorHandPose3D
+
+        return ColorHandPose3D
+    if name == "PosePriorNetwork":
+        from hand3d_tpu.models.poseprior import PosePriorNetwork
+
+        return PosePriorNetwork
+    if name == "HandPoseEstimator":
+        from hand3d_tpu.serving import HandPoseEstimator
+
+        return HandPoseEstimator
+    raise AttributeError(f"module 'hand3d_tpu' has no attribute {name!r}")

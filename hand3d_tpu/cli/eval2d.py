@@ -7,7 +7,9 @@ corrected, 320x320 frame (--no-wrist, no scaling): 18.741 / 6.745 / 0.635.
 """
 
 from hand3d_tpu.cli._common import (
+    add_mesh_arg,
     add_weights_arg,
+    build_mesh,
     base_parser,
     init_or_load,
     progress_printer,
@@ -27,6 +29,7 @@ def main():
         "--scale-to-size", dest="scale_to_size", action="store_true", default=True
     )
     p.add_argument("--no-scale-to-size", dest="scale_to_size", action="store_false")
+    add_mesh_arg(p)
     args = p.parse_args()
 
     dataset = RHDDataset("evaluation", path=args.data)
@@ -36,7 +39,7 @@ def main():
         exclude_var_list=["PosePrior", "ViewpointNet"],
     )
     metrics = eval2d_full_image(
-        params, dataset, args.batch_size,
+        params, dataset, args.batch_size, mesh=build_mesh(args.mesh),
         use_wrist_coord=args.wrist, scale_to_size=args.scale_to_size,
         progress=progress_printer(len(dataset), args.batch_size),
     )

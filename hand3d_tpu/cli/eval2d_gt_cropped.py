@@ -6,7 +6,9 @@ mean EPE 9.135 px / median 5.001 px / AUC(0-30px) 0.724; retrained (row 2):
 """
 
 from hand3d_tpu.cli._common import (
+    add_mesh_arg,
     add_weights_arg,
+    build_mesh,
     base_parser,
     init_or_load,
     progress_printer,
@@ -19,6 +21,7 @@ def main():
     p = base_parser(__doc__)
     add_weights_arg(p)
     p.add_argument("--data", default=None, help="Path to rhd_evaluation.bin")
+    add_mesh_arg(p)
     args = p.parse_args()
 
     dataset = RHDDataset("evaluation", path=args.data)
@@ -34,7 +37,7 @@ def main():
         exclude_var_list=["PosePrior", "ViewpointNet", "HandSegNet"],
     )
     metrics = eval2d_gt_cropped(
-        params["PoseNet2D"], dataset, args.batch_size,
+        params["PoseNet2D"], dataset, args.batch_size, mesh=build_mesh(args.mesh),
         progress=progress_printer(len(dataset), args.batch_size),
     )
     print("Evaluation results:")

@@ -6,7 +6,9 @@ local_w_xyz_loss 21.950 mm, proposed 18.840 mm.
 """
 
 from hand3d_tpu.cli._common import (
+    add_mesh_arg,
     add_weights_arg,
+    build_mesh,
     base_parser,
     init_or_load,
     progress_printer,
@@ -21,13 +23,14 @@ def main():
     add_weights_arg(p)
     p.add_argument("--variant", choices=VARIANTS, default="proposed")
     p.add_argument("--data", default=None, help="Path to rhd_evaluation.bin")
+    add_mesh_arg(p)
     args = p.parse_args()
 
     dataset = RHDDataset("evaluation", path=args.data)
     net = PosePriorNetwork(args.variant)
     params = init_or_load(net, args.seed, args.weights)
     metrics = eval3d_lifting(
-        args.variant, params, dataset, args.batch_size,
+        args.variant, params, dataset, args.batch_size, mesh=build_mesh(args.mesh),
         progress=progress_printer(len(dataset), args.batch_size),
     )
     print("Evaluation results for %s:" % args.variant)

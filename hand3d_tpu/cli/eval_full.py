@@ -7,7 +7,9 @@ Figure-9 PCK plot against the published STB baselines.
 """
 
 from hand3d_tpu.cli._common import (
+    add_mesh_arg,
     add_weights_arg,
+    build_mesh,
     base_parser,
     init_or_load,
     progress_printer,
@@ -25,6 +27,7 @@ def main():
     p.add_argument("--dataset", choices=["stb", "rhd"], default="stb")
     p.add_argument("--data", default=None, help="Path to the .bin file")
     p.add_argument("--plot", default=None, help="Write Figure-9 PCK plot here")
+    add_mesh_arg(p)
     args = p.parse_args()
 
     if args.dataset == "stb":
@@ -35,7 +38,7 @@ def main():
     net = ColorHandPose3D()
     params = init_or_load(net, args.seed, args.weights)
     metrics = eval_full_pipeline(
-        params, dataset, args.batch_size,
+        params, dataset, args.batch_size, mesh=build_mesh(args.mesh),
         progress=progress_printer(len(dataset), args.batch_size),
     )
     print("Evaluation results")

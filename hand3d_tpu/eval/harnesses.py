@@ -46,10 +46,20 @@ def _eval_batches(dataset, batch_size):
         yield idx, valid
 
 
-def _run(dataset, cfg, batch_size, step_fn, util_feed, progress=None):
+def _run(dataset, cfg, batch_size, step_fn, util_feed, progress=None,
+         mesh=None):
     pre = _preprocess_fn(dataset)
+    sharding = None
+    if mesh is not None:
+        from hand3d_tpu.parallel import batch_sharding
+
+        sharding = batch_sharding(mesh)
     for bi, (idx, valid) in enumerate(_eval_batches(dataset, batch_size)):
         raw = {k: jnp.asarray(v) for k, v in dataset.raw_batch(idx).items()}
+        if sharding is not None:
+            raw = jax.device_put(
+                raw, jax.tree_util.tree_map(lambda _: sharding, raw)
+            )
         data = pre(cfg, raw)
         out = step_fn(data)
         util_feed({k: np.asarray(v)[:valid] for k, v in out.items()})
@@ -57,7 +67,8 @@ def _run(dataset, cfg, batch_size, step_fn, util_feed, progress=None):
             progress(bi, valid)
 
 
-def eval2d_gt_cropped(posenet_params, dataset, batch_size=32, progress=None):
+def eval2d_gt_cropped(posenet_params, dataset, batch_size=32, progress=None,
+                      mesh=None):
     """PoseNet alone on ground-truth crops; 2D EPE in source-image pixels.
 
     Reference: eval2d_gt_cropped.py (reader settings :38, EPE / crop_scale
@@ -81,14 +92,14 @@ def eval2d_gt_cropped(posenet_params, dataset, batch_size=32, progress=None):
 
     util = EvalUtil()
     _run(dataset, cfg, batch_size, step,
-         lambda o: util.feed_batch(o["dists"], o["vis"]), progress)
+         lambda o: util.feed_batch(o["dists"], o["vis"]), progress, mesh)
     mean, median, auc, curve, thr = util.get_measures(0.0, 30.0, 20)
     return {"epe_mean_px": mean, "epe_median_px": median, "auc_0_30px": auc,
             "pck_curve": curve, "thresholds_px": thr}
 
 
 def eval2d_full_image(params, dataset, batch_size=16, use_wrist_coord=True,
-                      scale_to_size=True, progress=None):
+                      scale_to_size=True, progress=None, mesh=None):
     """HandSegNet + PoseNet on full frames; 2D EPE in dataset pixels.
 
     Reference: eval2d.py. With scale_to_size=True both GT and predictions
@@ -116,14 +127,14 @@ def eval2d_full_image(params, dataset, batch_size=16, use_wrist_coord=True,
 
     util = EvalUtil()
     _run(dataset, cfg, batch_size, step,
-         lambda o: util.feed_batch(o["dists"], o["vis"]), progress)
+         lambda o: util.feed_batch(o["dists"], o["vis"]), progress, mesh)
     mean, median, auc, curve, thr = util.get_measures(0.0, 30.0, 20)
     return {"epe_mean_px": mean, "epe_median_px": median, "auc_0_30px": auc,
             "pck_curve": curve, "thresholds_px": thr}
 
 
 def eval3d_lifting(variant, lifting_params, dataset, batch_size=32,
-                   progress=None):
+                   progress=None, mesh=None):
     """A lifting variant from GT scoremaps; 3D EPE in meters.
 
     Reference: eval3d.py (reader :50, pred * keypoint_scale and root-centered
@@ -143,13 +154,14 @@ def eval3d_lifting(variant, lifting_params, dataset, batch_size=32,
     util = EvalUtil()
     _run(dataset, cfg, batch_size, step,
          lambda o: util.feed_batch(o["dists"], np.ones_like(o["dists"])),
-         progress)
+         progress, mesh)
     mean, median, auc, curve, thr = util.get_measures(0.0, 0.050, 20)
     return {"epe_mean_mm": mean * 1000, "epe_median_mm": median * 1000,
             "auc_0_50mm": auc, "pck_curve": curve, "thresholds_m": thr}
 
 
-def eval_full_pipeline(params, dataset, batch_size=16, progress=None):
+def eval_full_pipeline(params, dataset, batch_size=16, progress=None,
+                       mesh=None):
     """Full cascade image -> 3D; EPE mm + AUC(0-50) + AUC(20-50) subset.
 
     Reference: eval_full.py (240x320 input :50, pred * keypoint_scale,
@@ -170,7 +182,7 @@ def eval_full_pipeline(params, dataset, batch_size=16, progress=None):
 
     util = EvalUtil()
     _run(dataset, cfg, batch_size, step,
-         lambda o: util.feed_batch(o["dists"], o["vis"]), progress)
+         lambda o: util.feed_batch(o["dists"], o["vis"]), progress, mesh)
     mean, median, auc, curve, thr = util.get_measures(0.0, 0.050, 20)
     curve_sub, thr_sub = curve[8:], thr[8:] * 1000.0
     return {

@@ -122,6 +122,38 @@ def load_tf_checkpoint_flat(checkpoint_path, discard_list=None, rename_dict=None
     return apply_discard_rename(flat, discard_list, rename_dict)
 
 
+# Warm-start rules used by the reference training scripts. The CPM-MPII
+# person/pose model shares the encoder architecture; variables are renamed
+# into our scopes and the incompatible heads are dropped.
+CPM_HANDSEGNET_RENAME = {"CPM/PersonNet": "HandSegNet", "_CPM": ""}
+CPM_HANDSEGNET_DISCARD = ["PoseNet", "Mconv", "conv6"]  # training_handsegnet.py:73-75
+CPM_POSENET_RENAME = {"CPM/PoseNet": "PoseNet2D", "_CPM": ""}
+CPM_POSENET_DISCARD = ["PersonNet", "PoseNet/Mconv", "conv5_2_CPM"]  # training_posenet.py:74-76
+SNAPSHOT_DISCARD = ["Adam", "global_step", "beta"]  # eval2d_gt_cropped.py:62
+
+
+def convert_cpm_warmstart(flat, target="posenet"):
+    """Apply the reference's CPM-MPII warm-start discard/rename rules.
+
+    Args:
+      flat: {tf_variable_name: ndarray} from the CPM checkpoint (use
+        load_tf_checkpoint_flat on a machine with TF, or any pre-dumped
+        flat dict).
+      target: "posenet" or "handsegnet".
+    Returns:
+      param tree with the renamed subset.
+    """
+    if target == "posenet":
+        flat = apply_discard_rename(flat, CPM_POSENET_DISCARD, CPM_POSENET_RENAME)
+    elif target == "handsegnet":
+        flat = apply_discard_rename(
+            flat, CPM_HANDSEGNET_DISCARD, CPM_HANDSEGNET_RENAME
+        )
+    else:
+        raise ValueError(f"Unknown warm-start target: {target}")
+    return flat_to_tree(flat)
+
+
 def save_npz(path, tree):
     """Save a param tree as an .npz with '/'-joined keys."""
     np.savez(path, **tree_to_flat(tree))

@@ -119,3 +119,18 @@ def test_eval_full_pipeline_harness_stb(stb):
     assert np.isfinite(m["epe_mean_mm"])
     assert 0.0 <= m["auc_0_50mm"] <= 1.0
     assert 0.0 <= m["auc_20_50mm"] <= 1.0
+
+
+def test_eval3d_with_mesh(rhd):
+    """DP-sharded eval over the virtual 8-device mesh gives identical
+    metrics to single-device."""
+    from hand3d_tpu.parallel import make_mesh
+
+    net = PosePriorNetwork("direct")
+    params = net.init(jax.random.PRNGKey(0))
+    single = eval3d_lifting("direct", params, rhd, batch_size=4)
+    mesh = make_mesh(4, 2)
+    sharded = eval3d_lifting("direct", params, rhd, batch_size=4, mesh=mesh)
+    np.testing.assert_allclose(
+        single["epe_mean_mm"], sharded["epe_mean_mm"], rtol=1e-5
+    )

@@ -160,3 +160,30 @@ def test_train_step_with_remat(rng):
     np.testing.assert_allclose(
         float(m_plain["loss"]), float(m_remat["loss"]), rtol=1e-6
     )
+
+
+def test_convert_cpm_warmstart_rules():
+    from hand3d_tpu.weights import convert_cpm_warmstart
+
+    flat = {
+        "CPM/PersonNet/conv1_1_CPM/weights": 1,
+        "CPM/PersonNet/conv6_1/weights": 2,       # discarded for handsegnet
+        "CPM/PoseNet/conv1_1_CPM/weights": 3,
+        "CPM/PoseNet/Mconv1/weights": 4,          # discarded for posenet
+        "CPM/PoseNet/conv5_2_CPM/weights": 5,     # discarded for posenet
+    }
+    pose = convert_cpm_warmstart(dict(flat), "posenet")
+    assert pose == {"PoseNet2D": {"conv1_1": {"weights": np.asarray(3)}}} or \
+        pose["PoseNet2D"]["conv1_1"]["weights"] == 3
+    assert "Mconv1" not in pose.get("PoseNet2D", {})
+    seg = convert_cpm_warmstart(dict(flat), "handsegnet")
+    assert seg["HandSegNet"]["conv1_1"]["weights"] == 1
+    assert "conv6_1" not in seg["HandSegNet"]
+
+
+def test_top_level_lazy_exports():
+    import hand3d_tpu
+
+    assert hand3d_tpu.ColorHandPose3D is not None
+    assert hand3d_tpu.PosePriorNetwork is not None
+    assert hand3d_tpu.HandPoseEstimator is not None
