@@ -19,6 +19,12 @@ import jax
 # var, so force CPU through the config API (verified to stick).
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: the suite is dominated by XLA:CPU compiles of the
+# same programs every run
+jax.config.update("jax_compilation_cache_dir", "/tmp/hand3d_tpu_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np
 import pytest
 

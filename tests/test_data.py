@@ -223,3 +223,49 @@ def test_pipeline_native_backend(rhd_left):
     assert len(batches) == 2
     for b in batches:
         assert b["image_crop"].shape == (2, 256, 256, 3)
+
+
+def test_projection_consistency_like_reference_smoke_test(rhd_left, stb):
+    """The reference's manual reader check (BinaryDbReaderSTB.__main__):
+    stored uv must equal the stored xyz projected through cam_mat. Our
+    fixtures are built that way; preprocess must preserve it."""
+    # RHD: uv is truncated to ints by the reader semantics -> 1px tolerance
+    cfg = PreprocessConfig(render_scoremap=False)
+    raw = {k: jnp.asarray(v) for k, v in rhd_left.raw_batch([0, 1]).items()}
+    d = preprocess_rhd(cfg, raw)
+    proj = np.einsum("bkc,bxc->bkx", np.asarray(d["keypoint_xyz21"]),
+                     np.asarray(d["cam_mat"]))
+    proj = proj[..., :2] / proj[..., 2:3]
+    np.testing.assert_allclose(np.asarray(d["keypoint_uv21"]), proj, atol=1.0)
+
+    # STB (no wrist extrapolation so kp0 stays projective-consistent)
+    cfg = PreprocessConfig(use_wrist_coord=False, render_scoremap=False)
+    raw = {k: jnp.asarray(v) for k, v in stb.raw_batch([0, 1]).items()}
+    d = preprocess_stb(cfg, raw)
+    proj = np.einsum("bkc,bxc->bkx", np.asarray(d["keypoint_xyz21"]),
+                     np.asarray(d["cam_mat"]))
+    proj = proj[..., :2] / proj[..., 2:3]
+    np.testing.assert_allclose(np.asarray(d["keypoint_uv21"]), proj, atol=1e-2)
+
+
+def test_projection_consistency_survives_crop(rhd_left):
+    """The cam_mat update under cropping (BinaryDbReader.py:325-346) must
+    keep K' @ xyz == uv' in the crop frame.
+
+    use_wrist_coord=True: the palm variant's kp0 mixes a mean-of-projections
+    (uv) with a projection-of-means (xyz), which differ under perspective —
+    an approximation inherited from the reference, not a crop-math error.
+    """
+    cfg = PreprocessConfig(hand_crop=True, use_wrist_coord=True,
+                           render_scoremap=False)
+    raw = {k: jnp.asarray(v) for k, v in rhd_left.raw_batch([0, 1]).items()}
+    d = preprocess_rhd(cfg, raw)
+    proj = np.einsum("bkc,bxc->bkx", np.asarray(d["keypoint_xyz21"]),
+                     np.asarray(d["cam_mat"]))
+    proj = proj[..., :2] / proj[..., 2:3]
+    # residual = the reader's uv int-truncation (<= ~1px, BinaryDbReader.py:149)
+    # amplified by the crop scale, plus float roundoff
+    scale = np.asarray(d["crop_scale"])
+    np.testing.assert_allclose(
+        np.asarray(d["keypoint_uv21"]), proj, atol=1.2 * float(scale.max()) + 0.5
+    )
