@@ -72,23 +72,7 @@ def bench_cascade(batch=32, chain=16, trials=3, compute_dtype=None):
     return batch / per_batch
 
 
-def main():
-    dtype = None
-    if os.environ.get("HAND3D_BENCH_DTYPE", "bf16") == "bf16":
-        dtype = jnp.bfloat16
-    import sys
-    import traceback
-
-    fps = None
-    for batch in (128, 32, 16, 8, 4, 1):
-        try:
-            fps = bench_cascade(batch=batch, compute_dtype=dtype)
-            break
-        except Exception:
-            traceback.print_exc(file=sys.stderr)
-            continue
-    if fps is None:
-        raise SystemExit("bench failed at all batch sizes")
+def _emit(fps):
     print(
         json.dumps(
             {
@@ -97,9 +81,55 @@ def main():
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / 20.0, 3),
             }
-        )
+        ),
+        flush=True,
     )
 
 
+def _child(batch):
+    dtype = None
+    if os.environ.get("HAND3D_BENCH_DTYPE", "bf16") == "bf16":
+        dtype = jnp.bfloat16
+    _emit(bench_cascade(batch=batch, compute_dtype=dtype))
+
+
+def main():
+    """Run each measurement attempt in a subprocess with a hard timeout.
+
+    The TPU tunnel in this environment occasionally wedges a client process
+    indefinitely (near-zero CPU, blocked in an RPC); an in-process attempt
+    would turn that into a bench failure. A killed subprocess just falls
+    through to the next attempt.
+    """
+    import subprocess
+    import sys
+
+    attempts = [(32, 420), (32, 420), (8, 300), (1, 240)]
+    for batch, timeout in attempts:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", str(batch)],
+                capture_output=True, text=True, timeout=timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except subprocess.TimeoutExpired:
+            print(f"bench attempt batch={batch} timed out", file=sys.stderr)
+            continue
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+                return
+        print(
+            f"bench attempt batch={batch} failed:\n{proc.stderr[-2000:]}",
+            file=sys.stderr,
+        )
+    raise SystemExit("bench failed at all attempts")
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        _child(int(sys.argv[2]))
+    else:
+        main()

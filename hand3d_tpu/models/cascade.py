@@ -45,10 +45,18 @@ class Pose2DOutput(NamedTuple):
 
 
 class ColorHandPose3D:
-    """Full cascade: HandSegNet -> crop -> PoseNet -> PosePrior/Viewpoint."""
+    """Full cascade: HandSegNet -> crop -> PoseNet -> PosePrior/Viewpoint.
 
-    def __init__(self, compute_dtype=None):
+    Args:
+      compute_dtype: conv/matmul compute dtype (None = float32).
+      decode: 2D keypoint decoder — "argmax" (reference parity) or
+        "soft_argmax" (sub-pixel, differentiable; an extension).
+    """
+
+    def __init__(self, compute_dtype=None, decode="argmax"):
+        assert decode in ("argmax", "soft_argmax")
         self.compute_dtype = compute_dtype
+        self.decode = decode
 
     # --- parameters ---------------------------------------------------------
 
@@ -110,7 +118,12 @@ class ColorHandPose3D:
         The reference did this on the host (run.py:72-74); on-device it is one
         argmax + an affine transform.
         """
-        coord_hw_crop = detect_keypoints_2d(scoremap_crop)  # [B, 21, 2] (row, col)
+        if self.decode == "soft_argmax":
+            from hand3d_tpu.ops.keypoints import soft_argmax_2d
+
+            coord_hw_crop = soft_argmax_2d(scoremap_crop)
+        else:
+            coord_hw_crop = detect_keypoints_2d(scoremap_crop)  # [B, 21, 2]
         coord_hw = trafo_coords(coord_hw_crop, center, scale_crop[:, 0], CROP_SIZE)
         return coord_hw[..., ::-1]  # (u, v)
 

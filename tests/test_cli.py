@@ -129,3 +129,12 @@ def test_serving_estimator(monkeypatch):
     assert out["keypoint_coord3d"].shape == (3, 21, 3)
     assert out["keypoint_uv21"].shape == (3, 21, 2)
     assert out["hand_scoremap"].shape == (3, 120, 160, 2)
+
+
+def test_cli_eval2d(rhd_bin, monkeypatch, capsys):
+    from hand3d_tpu.cli import eval2d as cli
+
+    _run_main(
+        cli, ["--data", rhd_bin, "--batch-size", "2", "--no-wrist"], monkeypatch
+    )
+    assert "Average mean EPE" in capsys.readouterr().out

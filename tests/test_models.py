@@ -121,3 +121,12 @@ def test_cascade_inference2d(rng):
     out = net.inference2d(params, image)
     assert out.keypoints_scoremap.shape == (1, 256, 256, 21)
     assert out.keypoint_uv21.shape == (1, 21, 2)
+
+
+def test_cascade_soft_argmax_decode(rng):
+    net = ColorHandPose3D(decode="soft_argmax")
+    params = net.init(KEY)
+    image = jnp.asarray(rng.rand(1, 120, 160, 3).astype(np.float32) - 0.5)
+    out = net.inference2d(params, image)
+    assert out.keypoint_uv21.shape == (1, 21, 2)
+    assert np.all(np.isfinite(np.asarray(out.keypoint_uv21)))
