@@ -133,7 +133,7 @@ class InputPipeline:
         library can't be built/loaded, so iterate() falls back to the
         threaded-memmap path."""
         try:
-            from hand3d_tpu.data.native import NativeRecordReader, NativeUnavailable
+            from hand3d_tpu.data.native import NativeRecordReader
         except Exception:
             return None
         try:

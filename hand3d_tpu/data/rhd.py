@@ -5,8 +5,6 @@ Consumes the same rhd_{training,evaluation}.bin files as the reference
 Sample counts per data/BinaryDbReader.py:59-64.
 """
 
-import numpy as np
-
 from hand3d_tpu.data.codec import FixedLenRecordFile, RHD_RECORD_DTYPE
 
 NUM_SAMPLES = {"training": 41258, "evaluation": 2728}

@@ -15,8 +15,6 @@ Each returns a dict of metrics; expected reference values are listed in
 BASELINE.md rows 1-13.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
