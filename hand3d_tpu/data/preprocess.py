@@ -158,6 +158,9 @@ def _hand_crop_features(cfg, keys, image, uv21, vis21, cam_mat, image_size):
         "image_crop": image_crop,
         "keypoint_uv21": uv21_crop,
         "cam_mat": cam_mat_new,
+        # effective (possibly noise-shifted) center, for callers that remap
+        # a different uv set into the crop frame (STB, :266-271)
+        "_crop_center": crop_center,
     }
 
 
@@ -287,11 +290,11 @@ def preprocess_rhd(cfg, raw, key=None):
         }
 
     if cfg.hand_crop:
-        data.update(
-            _hand_crop_features(
-                cfg, ks[2:5], image, uv21, vis21, cam_mat, RHD_IMAGE_SIZE
-            )
+        crop = _hand_crop_features(
+            cfg, ks[2:5], image, uv21, vis21, cam_mat, RHD_IMAGE_SIZE
         )
+        crop.pop("_crop_center")
+        data.update(crop)
         scoremap_size = (cfg.crop_size, cfg.crop_size)
     else:
         scoremap_size = RHD_IMAGE_SIZE
@@ -371,9 +374,10 @@ def preprocess_stb(cfg, raw, key=None):
         crop = _hand_crop_features(
             cfg, ks[2:5], image, uv_for_crop, vis21, cam_mat, STB_IMAGE_SIZE
         )
-        # uv mapped into the crop uses the original uv21 (:266-271)
+        # uv mapped into the crop uses the original uv21 but the effective
+        # (noise-shifted) crop center and scale (:266-271)
         half = cfg.crop_size // 2
-        center = uv_for_crop[:, 12, ::-1]
+        center = crop.pop("_crop_center")
         u = (uv21[:, :, 0] - center[:, None, 1]) * crop["crop_scale"][:, None] + half
         v = (uv21[:, :, 1] - center[:, None, 0]) * crop["crop_scale"][:, None] + half
         crop["keypoint_uv21"] = jnp.stack([u, v], axis=-1)
