@@ -35,6 +35,10 @@ def main():
     p.add_argument("--snapshot-dir", default=None)
     p.add_argument("--snapshot-freq", type=int, default=5000)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--no-fused", dest="fused", action="store_false",
+                   default=True,
+                   help="Run preprocessing as a separate program instead "
+                        "of fusing it into the jitted train step")
     add_mesh_arg(p)
     args = p.parse_args()
     snapshot_dir = args.snapshot_dir or f"snapshots_lifting_{args.variant}"
@@ -52,7 +56,7 @@ def main():
 
         sharding = batch_sharding(mesh)
     pipeline = InputPipeline(dataset, cfg, args.batch_size, seed=args.seed,
-                             sharding=sharding)
+                             sharding=sharding, yield_raw=args.fused)
 
     net = PosePriorNetwork(args.variant)
     params = net.init(jax.random.PRNGKey(args.seed))
@@ -68,9 +72,16 @@ def main():
         )
         return lifting_loss(args.variant, out, batch)
 
+    train_loss = loss_fn
+    if args.fused:
+        from hand3d_tpu.data.preprocess import preprocess_rhd
+        from hand3d_tpu.train.trainer import fuse_preprocess
+
+        train_loss = fuse_preprocess(loss_fn, preprocess_rhd, cfg)
+
     optimizer = make_optimizer(args.lr, args.lr_iter)
     fit(
-        loss_fn, params, optimizer, pipeline, args.max_iter,
+        train_loss, params, optimizer, pipeline, args.max_iter,
         mesh=mesh, seed=args.seed, snapshot_dir=snapshot_dir,
         snapshot_freq=args.snapshot_freq, resume=args.resume,
     )

@@ -48,7 +48,7 @@ class InputPipeline:
     """
 
     def __init__(self, dataset, cfg, batch_size, shuffle=True, seed=0,
-                 sharding=None, prefetch=2, use_native=False):
+                 sharding=None, prefetch=2, use_native=False, yield_raw=False):
         self.dataset = dataset
         self.cfg = cfg
         self.batch_size = batch_size
@@ -57,9 +57,18 @@ class InputPipeline:
         self.sharding = sharding
         self.prefetch = prefetch
         self.use_native = use_native
+        # yield_raw: skip on-pipeline preprocessing and yield the raw record
+        # dict (device-resident) — used by fused train steps that run
+        # preprocess inside the same jitted program as fwd/bwd/update
+        self.yield_raw = yield_raw
         self._preprocess = (
             preprocess_rhd if isinstance(dataset, RHDDataset) else preprocess_stb
         )
+
+    def _emit(self, raw, key):
+        if self.yield_raw:
+            return raw
+        return self._preprocess(self.cfg, raw, key)
 
     def steps_per_epoch(self):
         steps = len(self.dataset) // self.batch_size
@@ -117,7 +126,7 @@ class InputPipeline:
                     key = jax.random.fold_in(
                         jax.random.fold_in(base_key, epoch), step
                     )
-                yield self._preprocess(self.cfg, raw, key)
+                yield self._emit(raw, key)
         finally:
             stop.set()
             # drain so the producer can observe the stop flag
@@ -169,7 +178,7 @@ class InputPipeline:
                             jax.random.fold_in(base_key, epoch), step
                         )
                     step_total += 1
-                    yield self._preprocess(self.cfg, raw, key)
+                    yield self._emit(raw, key)
             finally:
                 reader.close()
 

@@ -24,6 +24,30 @@ class TrainState(NamedTuple):
     step: Any
 
 
+def fuse_preprocess(loss_fn, preprocess_fn, cfg):
+    """Fuse data preprocessing into the loss, making the whole training step
+    (decode -> augment -> forward -> backward -> update) ONE jitted program.
+
+    The reference achieved this with TF1's single graph; the unfused path
+    here runs preprocess and train step as two dispatches. Fusing removes a
+    dispatch per step and lets XLA overlap preprocessing with compute.
+
+    Args:
+      loss_fn: loss over preprocessed features (params, batch, key) -> scalar.
+      preprocess_fn: data.preprocess.preprocess_rhd / preprocess_stb.
+      cfg: the PreprocessConfig (static).
+    Returns:
+      loss over raw record batches with the same signature.
+    """
+
+    def fused(params, raw_batch, key):
+        k_data, k_loss = jax.random.split(key)
+        batch = preprocess_fn(cfg, raw_batch, k_data if cfg.needs_rng else None)
+        return loss_fn(params, batch, k_loss)
+
+    return fused
+
+
 def make_optimizer(lr_values, lr_steps):
     """Adam with the reference's multistep LR schedule (TF defaults: b1=0.9,
     b2=0.999, eps=1e-8, matching tf.train.AdamOptimizer)."""

@@ -101,3 +101,29 @@ def test_export_import_params(tmp_path):
         np.asarray(params["PoseNet2D"]["conv1_1"]["weights"]),
         back["PoseNet2D"]["conv1_1"]["weights"],
     )
+
+
+def test_fused_train_step_matches_unfused_losslessly(tmp_path):
+    """fuse_preprocess(loss) over raw records == loss over preprocessed
+    features when the preprocessing is deterministic (no aug)."""
+    import jax.numpy as jnp
+    from hand3d_tpu.data.preprocess import preprocess_rhd
+    from hand3d_tpu.train.trainer import fuse_preprocess
+
+    dataset = _dataset(tmp_path)
+    cfg = PreprocessConfig(hand_crop=True, use_wrist_coord=False,
+                           crop_size=32)
+
+    def loss_fn(params, batch, key):
+        preds = posenet.apply(params[posenet.SCOPE], batch["image_crop"])
+        return posenet_scoremap_loss(preds, batch["scoremap"],
+                                     batch["keypoint_vis21"])
+
+    params = {posenet.SCOPE: posenet.init(jax.random.PRNGKey(0))}
+    raw = {k: jnp.asarray(v) for k, v in dataset.raw_batch([0, 1]).items()}
+    batch = preprocess_rhd(cfg, raw)
+    key = jax.random.PRNGKey(5)
+
+    plain = float(loss_fn(params, batch, key))
+    fused = float(fuse_preprocess(loss_fn, preprocess_rhd, cfg)(params, raw, key))
+    np.testing.assert_allclose(plain, fused, rtol=1e-6)
