@@ -41,11 +41,13 @@ def init(key, dtype=None):
     return params
 
 
-def apply(params, image, compute_dtype=None):
+def apply(params, image, compute_dtype=None, constrain=None):
     """image [B, H, W, 3] -> list of one [B, H, W, 2] segmentation scoremap.
 
     Returns a list (deep-supervision convention shared with PoseNet) even
     though HandSegNet has a single head, matching the reference's API.
+    ``constrain``: optional activation-sharding hook (see
+    parallel.mesh.spatial_constrainer) applied after each conv block.
     """
     _, h, w, _ = image.shape
     x = image
@@ -57,4 +59,6 @@ def apply(params, image, compute_dtype=None):
         x = nn.conv2d(x, params[name], compute_dtype=compute_dtype)
         if relu:
             x = nn.leaky_relu(x)
+        if constrain is not None:
+            x = constrain(x)
     return [resize_bilinear(x, (h, w))]

@@ -60,8 +60,12 @@ def init(key, dtype=None):
     return params
 
 
-def apply(params, image_crop, compute_dtype=None):
-    """image_crop [B, H, W, 3] -> list of three [B, H/8, W/8, 21] scoremaps."""
+def apply(params, image_crop, compute_dtype=None, constrain=None):
+    """image_crop [B, H, W, 3] -> list of three [B, H/8, W/8, 21] scoremaps.
+
+    ``constrain``: optional activation-sharding hook (spatial partitioning;
+    see parallel.mesh.spatial_constrainer), applied through the encoder.
+    """
     x = image_crop
     for layer in _ENCODER:
         if layer == "pool":
@@ -69,6 +73,8 @@ def apply(params, image_crop, compute_dtype=None):
             continue
         name, _, _ = layer
         x = nn.conv2d_relu(x, params[name], compute_dtype=compute_dtype)
+        if constrain is not None:
+            x = constrain(x)
     encoding = x
 
     x = nn.conv2d_relu(encoding, params["conv5_1"], compute_dtype=compute_dtype)

@@ -82,3 +82,18 @@ def param_sharding(mesh, params):
 def shard_params(mesh, params):
     """device_put the tree with its TP sharding."""
     return jax.device_put(params, param_sharding(mesh, params))
+
+
+def spatial_constrainer(mesh):
+    """Spatial partitioning (SP): constrain [B, H, W, C] activations to shard
+    H over "model" (and batch over "data"). GSPMD inserts the halo exchanges
+    SAME-padded convs need at shard boundaries. Pass the returned callable as
+    ``constrain=`` to handsegnet/posenet.apply; useful when a single sample's
+    activations exceed one chip (large inputs) — for the reference's 256²
+    shapes DP alone is faster, so this is opt-in."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None, None))
+
+    def constrain(x):
+        return jax.lax.with_sharding_constraint(x, sharding)
+
+    return constrain
