@@ -70,7 +70,10 @@ class HandPoseEstimator:
             "resize on the client or build a second estimator bucket"
         )
 
-        outs = []
+        # dispatch every chunk before fetching any result: jax dispatch is
+        # async, so device compute of chunk i overlaps the host-side padding
+        # + transfer of chunk i+1 and the fetch of chunk i-1
+        pending = []
         for start in range(0, n, self.batch_size):
             chunk = images[start : start + self.batch_size]
             valid = chunk.shape[0]
@@ -80,5 +83,9 @@ class HandPoseEstimator:
                 )
                 chunk = np.concatenate([chunk, pad])
             out = self._fwd(self.params, jnp.asarray(chunk), self.hand_side)
-            outs.append({k: np.asarray(v)[:valid] for k, v in out.items()})
+            pending.append((out, valid))
+        outs = [
+            {k: np.asarray(v)[:valid] for k, v in out.items()}
+            for out, valid in pending
+        ]
         return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
