@@ -26,7 +26,7 @@ from hand3d_tpu.eval.metrics import EvalUtil, calc_auc
 from hand3d_tpu.models.cascade import CROP_SIZE, ColorHandPose3D
 from hand3d_tpu.models.poseprior import PosePriorNetwork
 from hand3d_tpu.ops.image import resize_bilinear
-from hand3d_tpu.ops.keypoints import detect_keypoints_2d
+from hand3d_tpu.ops.keypoints import decode_upsampled
 
 
 def _preprocess_fn(dataset):
@@ -45,24 +45,62 @@ def _eval_batches(dataset, batch_size):
 
 
 def _run(dataset, cfg, batch_size, step_fn, util_feed, progress=None,
-         mesh=None):
+         mesh=None, window=3):
+    """Stream the dataset through ``step_fn`` with a fully pipelined loop:
+
+    - preprocess + metrics step fuse into ONE jitted program per batch
+      (dispatch overhead matters: through this environment's TPU tunnel a
+      dispatch costs ~300 ms — two dispatches + a synchronous fetch per
+      batch measured 4 img/s end to end despite ~1000 fps device compute);
+    - raw record slicing runs on a background thread;
+    - results are fetched through a ``window``-deep async queue, so batch
+      i's device compute overlaps batch i+1's host IO and upload.
+    """
+    import collections
+    import queue
+    import threading
+
     pre = _preprocess_fn(dataset)
     sharding = None
     if mesh is not None:
         from hand3d_tpu.parallel import batch_sharding
 
         sharding = batch_sharding(mesh)
-    for bi, (idx, valid) in enumerate(_eval_batches(dataset, batch_size)):
-        raw = {k: jnp.asarray(v) for k, v in dataset.raw_batch(idx).items()}
+
+    fused = jax.jit(lambda raw: step_fn(pre(cfg, raw)))
+
+    q = queue.Queue(maxsize=2)
+    batches = list(_eval_batches(dataset, batch_size))
+
+    def producer():
+        for idx, valid in batches:
+            q.put((dataset.raw_batch(idx), valid))
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    pending = collections.deque()
+
+    def drain_one(bi):
+        out, valid = pending.popleft()
+        util_feed({k: np.asarray(v)[:valid] for k, v in out.items()})
+        if progress:
+            progress(bi, valid)
+
+    drained = 0
+    for _ in range(len(batches)):
+        raw, valid = q.get()
+        raw = {k: jnp.asarray(v) for k, v in raw.items()}
         if sharding is not None:
             raw = jax.device_put(
                 raw, jax.tree_util.tree_map(lambda _: sharding, raw)
             )
-        data = pre(cfg, raw)
-        out = step_fn(data)
-        util_feed({k: np.asarray(v)[:valid] for k, v in out.items()})
-        if progress:
-            progress(bi, valid)
+        pending.append((fused(raw), valid))
+        if len(pending) > window:
+            drain_one(drained)
+            drained += 1
+    while pending:
+        drain_one(drained)
+        drained += 1
 
 
 def eval2d_gt_cropped(posenet_params, dataset, batch_size=32, progress=None,
@@ -79,8 +117,8 @@ def eval2d_gt_cropped(posenet_params, dataset, batch_size=32, progress=None,
     @jax.jit
     def step(data):
         preds = posenet.apply(posenet_params, data["image_crop"])
-        sm = resize_bilinear(preds[-1], (CROP_SIZE, CROP_SIZE))
-        coord_hw = detect_keypoints_2d(sm)
+        factor = CROP_SIZE // preds[-1].shape[1]
+        coord_hw = decode_upsampled(preds[-1], factor)
         coord_uv = coord_hw[..., ::-1]
         scale = data["crop_scale"][:, None, None]
         dists = jnp.linalg.norm(

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from hand3d_tpu.models import handsegnet, posenet, poseprior
 from hand3d_tpu.ops.image import crop_image_from_xy, resize_bilinear
-from hand3d_tpu.ops.keypoints import detect_keypoints_2d, trafo_coords
+from hand3d_tpu.ops.keypoints import decode_upsampled, detect_keypoints_2d, trafo_coords
 from hand3d_tpu.ops.segmentation import calc_center_bb, single_obj_scoremap
 
 CROP_SIZE = 256  # ColorHandPose3DNetwork.py:31
@@ -112,18 +112,25 @@ class ColorHandPose3D:
         image_crop = crop_image_from_xy(image, center, CROP_SIZE, scale_crop[:, 0])
         return hand_scoremap, image_crop, scale_crop, center
 
-    def _decode_uv(self, scoremap_crop, center, scale_crop):
-        """Argmax keypoints in the crop -> global (u, v) coordinates.
+    def _decode_uv(self, scoremap_small, center, scale_crop):
+        """Keypoints from the 32x32 scoremap -> global (u, v) coordinates.
 
-        The reference did this on the host (run.py:72-74); on-device it is one
-        argmax + an affine transform.
+        The reference resized to 256 and took the argmax on the host
+        (run.py:72-74). Here the argmax over the upsampled map is computed
+        without materializing it (ops.keypoints.decode_upsampled, Pallas on
+        TPU, bit-identical XLA fallback elsewhere), then transformed
+        crop -> global on device.
         """
+        factor = CROP_SIZE // scoremap_small.shape[1]
         if self.decode == "soft_argmax":
+            from hand3d_tpu.ops.image import resize_bilinear
             from hand3d_tpu.ops.keypoints import soft_argmax_2d
 
-            coord_hw_crop = soft_argmax_2d(scoremap_crop)
+            coord_hw_crop = soft_argmax_2d(
+                resize_bilinear(scoremap_small, (CROP_SIZE, CROP_SIZE))
+            )
         else:
-            coord_hw_crop = detect_keypoints_2d(scoremap_crop)  # [B, 21, 2]
+            coord_hw_crop = decode_upsampled(scoremap_small, factor)
         coord_hw = trafo_coords(coord_hw_crop, center, scale_crop[:, 0], CROP_SIZE)
         return coord_hw[..., ::-1]  # (u, v)
 
@@ -140,7 +147,7 @@ class ColorHandPose3D:
             params, scoremap, hand_side, train=train, key=key
         )
         scoremap_large = resize_bilinear(scoremap, (CROP_SIZE, CROP_SIZE))
-        keypoint_uv21 = self._decode_uv(scoremap_large, center, scale_crop)
+        keypoint_uv21 = self._decode_uv(scoremap, center, scale_crop)
         return CascadeOutput(
             hand_scoremap, image_crop, scale_crop, center,
             scoremap_large, coord3d, keypoint_uv21,
@@ -151,7 +158,7 @@ class ColorHandPose3D:
         _, image_crop, scale_crop, center = self._localize_and_crop(params, image)
         scoremaps = self.inference_pose2d(params, image_crop)
         scoremap_large = resize_bilinear(scoremaps[-1], (CROP_SIZE, CROP_SIZE))
-        keypoint_uv21 = self._decode_uv(scoremap_large, center, scale_crop)
+        keypoint_uv21 = self._decode_uv(scoremaps[-1], center, scale_crop)
         return Pose2DOutput(
             scoremap_large, image_crop, scale_crop, center, keypoint_uv21
         )

@@ -109,3 +109,37 @@ def test_flood_fill_pallas_early_exit_same_result():
     # far more passes than needed -> converged result, not over-grown
     out = np.asarray(flood_fill_pallas(jnp.asarray(det), jnp.asarray(seed), 50))
     np.testing.assert_array_equal(out, det)
+
+
+def test_decode_keypoints_upsampled_pallas_matches_xla(rng):
+    """Fused upsample+argmax kernel must be bit-equal to the XLA path
+    (resize_bilinear then detect_keypoints_2d), including tie-breaks."""
+    from hand3d_tpu.ops.image import resize_bilinear
+    from hand3d_tpu.ops.pallas.decode import decode_keypoints_upsampled_pallas
+
+    sm = rng.randn(3, 32, 32, 21).astype(np.float32)
+    # inject exact ties to exercise first-occurrence tie-breaking
+    sm[0, :, :, 0] = 0.0
+    sm[1, 5, 5, 3] = sm[1].max() + 1.0
+    sm[1, 20, 20, 3] = sm[1, 5, 5, 3]
+    want = np.asarray(
+        detect_keypoints_2d(resize_bilinear(jnp.asarray(sm), (256, 256)))
+    )
+    got = np.asarray(decode_keypoints_upsampled_pallas(jnp.asarray(sm), 8))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_decode_keypoints_upsampled_pallas_edge_peak(rng):
+    """Peaks on the last row/col exercise the clamped-edge interpolation."""
+    from hand3d_tpu.ops.image import resize_bilinear
+    from hand3d_tpu.ops.pallas.decode import decode_keypoints_upsampled_pallas
+
+    sm = rng.rand(1, 16, 16, 4).astype(np.float32)
+    sm[0, 15, 15, 0] = 10.0
+    sm[0, 0, 15, 1] = 10.0
+    sm[0, 15, 0, 2] = 10.0
+    want = np.asarray(
+        detect_keypoints_2d(resize_bilinear(jnp.asarray(sm), (64, 64)))
+    )
+    got = np.asarray(decode_keypoints_upsampled_pallas(jnp.asarray(sm), 4))
+    np.testing.assert_array_equal(got, want)
