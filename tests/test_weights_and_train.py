@@ -187,3 +187,14 @@ def test_top_level_lazy_exports():
     assert hand3d_tpu.ColorHandPose3D is not None
     assert hand3d_tpu.PosePriorNetwork is not None
     assert hand3d_tpu.HandPoseEstimator is not None
+
+
+def test_graft_entry_shapes():
+    """Driver compile-check insurance: entry() must return a traceable fn."""
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    shapes = jax.eval_shape(fn, *args)
+    assert shapes[0].shape == (8, 21, 3)   # keypoint_coord3d
+    assert shapes[1].shape == (8, 21, 2)   # keypoint_uv21
+    assert shapes[2].shape == (8, 240, 320, 2)  # hand_scoremap
