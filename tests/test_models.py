@@ -130,3 +130,14 @@ def test_cascade_soft_argmax_decode(rng):
     out = net.inference2d(params, image)
     assert out.keypoint_uv21.shape == (1, 21, 2)
     assert np.all(np.isfinite(np.asarray(out.keypoint_uv21)))
+
+
+def test_cascade_odd_input_dims(rng):
+    """Non-multiple-of-8 frames must work (VALID pools drop edge rows, the
+    final upsample restores the exact input size, like the reference)."""
+    net = ColorHandPose3D()
+    params = net.init(KEY)
+    image = jnp.asarray(rng.rand(1, 101, 131, 3).astype(np.float32) - 0.5)
+    out = net.inference(params, image, jnp.asarray([[1.0, 0.0]]))
+    assert out.hand_scoremap.shape == (1, 101, 131, 2)
+    assert out.keypoint_coord3d.shape == (1, 21, 3)
