@@ -56,6 +56,11 @@ def conv2d_transpose(x, params, stride=2, compute_dtype=None):
     return y + b.astype(y.dtype)
 
 
+def conv2d_transpose_relu(x, params, stride=2, compute_dtype=None):
+    """upconv_relu (general.py:87-90)."""
+    return leaky_relu(conv2d_transpose(x, params, stride, compute_dtype))
+
+
 def max_pool_2x2(x):
     """2x2 stride-2 VALID max pool — general.py:61-65."""
     return jax.lax.reduce_window(

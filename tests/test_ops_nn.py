@@ -94,3 +94,16 @@ def test_bilinear_upconv_init_kernel():
     np.testing.assert_allclose(w[:, :, 0, 1], 0.0)
     np.testing.assert_allclose(w[:, :, 0, 0], w[:, :, 1, 1])
     assert abs(w[:, :, 0, 0].sum() - 4.0) < 1e-5  # bilinear kernel sums to (size/2)^2
+
+
+def test_conv2d_transpose_bilinear_upsamples():
+    """Transposed conv with the bilinear-init kernel performs 2x upsampling:
+    a constant input stays constant in the interior."""
+    params = nn.bilinear_upconv_init(4, 1)
+    x = jnp.ones((1, 6, 6, 1))
+    y = np.asarray(nn.conv2d_transpose(x, params, stride=2))
+    assert y.shape == (1, 12, 12, 1)
+    np.testing.assert_allclose(y[0, 3:-3, 3:-3, 0], 1.0, atol=1e-5)
+
+    y_relu = np.asarray(nn.conv2d_transpose_relu(x, params, stride=2))
+    np.testing.assert_allclose(y_relu, np.maximum(y, 0.01 * y), atol=1e-6)
