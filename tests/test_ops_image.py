@@ -33,19 +33,28 @@ def np_resize_bilinear_tf1(img, out_hw):
 
 
 def np_crop_and_resize_tf(img, box, crop_hw, extrap=0.0):
-    """Golden: TF crop_and_resize bilinear for one image/box."""
+    """Golden: TF crop_and_resize bilinear for one image/box.
+
+    Sample positions use float32 arithmetic in the same association order as
+    the kernel (lo*(size-1) + i*step) — the TF kernel itself is float32, and
+    float64 goldens disagree at exact in/out-of-image knife edges (found by
+    hypothesis: a box edge mathematically at 0.0 rounds to ±1e-7 differently).
+    """
+    f32 = np.float32
     h, w, c = img.shape
     ch, cw = crop_hw
-    y1, x1, y2, x2 = box
+    y1, x1, y2, x2 = (f32(v) for v in box)
     out = np.full((ch, cw, c), extrap, np.float32)
+    step_y = f32(f32(y2 - y1) * (h - 1) / (ch - 1)) if ch > 1 else f32(0)
+    step_x = f32(f32(x2 - x1) * (w - 1) / (cw - 1)) if cw > 1 else f32(0)
     for i in range(ch):
-        in_y = y1 * (h - 1) + i * (y2 - y1) * (h - 1) / (ch - 1) if ch > 1 else 0.5 * (y1 + y2) * (h - 1)
+        in_y = f32(f32(y1 * (h - 1)) + f32(i) * step_y) if ch > 1 else f32(0.5 * (y1 + y2) * (h - 1))
         if in_y < 0 or in_y > h - 1:
             continue
         ty, by = int(np.floor(in_y)), int(np.ceil(in_y))
         ly = in_y - ty
         for j in range(cw):
-            in_x = x1 * (w - 1) + j * (x2 - x1) * (w - 1) / (cw - 1) if cw > 1 else 0.5 * (x1 + x2) * (w - 1)
+            in_x = f32(f32(x1 * (w - 1)) + f32(j) * step_x) if cw > 1 else f32(0.5 * (x1 + x2) * (w - 1))
             if in_x < 0 or in_x > w - 1:
                 continue
             lx_, rx = int(np.floor(in_x)), int(np.ceil(in_x))
