@@ -58,7 +58,14 @@ def test_canonical_trafo_properties(coords):
 
 
 @given(
-    box=hnp.arrays(np.float32, (4,), elements=st.floats(-0.5, 1.5, width=32)),
+    # Subnormal coords (e.g. -1e-45) are excluded: XLA flushes them to zero
+    # (so the sample lands in-image at 0.0) while the float32 numpy golden
+    # keeps them negative (out-of-image -> extrapolate). FTZ hardware can't
+    # match the golden on that measure-zero knife edge.
+    box=hnp.arrays(
+        np.float32, (4,),
+        elements=st.floats(-0.5, 1.5, width=32, allow_subnormal=False),
+    ),
     data=st.data(),
 )
 @settings(**_SETTINGS)
