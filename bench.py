@@ -46,10 +46,11 @@ def _chained(net, n):
     return fn
 
 
-def bench_cascade(batch=32, chain=16, trials=3, compute_dtype=None):
+def bench_cascade(batch=32, chain=16, trials=3, compute_dtype=None,
+                  seg_scale=1.0):
     from hand3d_tpu.models.cascade import ColorHandPose3D
 
-    net = ColorHandPose3D(compute_dtype=compute_dtype)
+    net = ColorHandPose3D(compute_dtype=compute_dtype, seg_scale=seg_scale)
     params = net.init(jax.random.PRNGKey(0))
     image = jax.device_put(
         jax.random.uniform(jax.random.PRNGKey(1), (batch, 240, 320, 3)) - 0.5
@@ -90,7 +91,10 @@ def _child(batch):
     dtype = None
     if os.environ.get("HAND3D_BENCH_DTYPE", "bf16") == "bf16":
         dtype = jnp.bfloat16
-    _emit(bench_cascade(batch=batch, compute_dtype=dtype))
+    # HAND3D_BENCH_SEG_SCALE < 1 benchmarks the low-res-localization speed
+    # preset (models/cascade.py seg_scale); the headline stays at parity 1.0.
+    seg_scale = float(os.environ.get("HAND3D_BENCH_SEG_SCALE", "1.0"))
+    _emit(bench_cascade(batch=batch, compute_dtype=dtype, seg_scale=seg_scale))
 
 
 def main():

@@ -51,12 +51,23 @@ class ColorHandPose3D:
       compute_dtype: conv/matmul compute dtype (None = float32).
       decode: 2D keypoint decoder — "argmax" (reference parity) or
         "soft_argmax" (sub-pixel, differentiable; an extension).
+      seg_scale: localization-resolution factor in (0, 1]. 1.0 (default)
+        is reference parity. Values < 1 run HandSegNet, the flood fill and
+        the bbox at a downsampled resolution and rescale the crop box to
+        full-res coordinates — the PoseNet/PosePrior stages still see a
+        full-resolution 256x256 crop. The segmentation mask is
+        low-frequency and the bbox is padded 1.25x, so localization is
+        tolerant of this; it cuts the HandSegNet conv FLOPs by seg_scale^2
+        (the dominant cascade cost). Accuracy delta is not validated
+        against the reference benchmarks — an opt-in speed preset.
     """
 
-    def __init__(self, compute_dtype=None, decode="argmax"):
+    def __init__(self, compute_dtype=None, decode="argmax", seg_scale=1.0):
         assert decode in ("argmax", "soft_argmax")
+        assert 0.0 < seg_scale <= 1.0, seg_scale
         self.compute_dtype = compute_dtype
         self.decode = decode
+        self.seg_scale = seg_scale
 
     # --- parameters ---------------------------------------------------------
 
@@ -103,14 +114,42 @@ class ColorHandPose3D:
         """HandSegNet -> single blob -> bbox -> scaled crop.
 
         Mirrors the intermediate processing at ColorHandPose3DNetwork.py:77-86.
+        With seg_scale < 1 the whole localization stage runs at reduced
+        resolution; the crop is still taken from the full-res image.
         """
-        hand_scoremap = self.inference_detection(params, image)[-1]
+        _, h, w, _ = image.shape
+        if self.seg_scale != 1.0:
+            sh = max(1, round(h * self.seg_scale))
+            sw = max(1, round(w * self.seg_scale))
+            seg_input = resize_bilinear(image, (sh, sw))
+        else:
+            seg_input = image
+        scoremap = self.inference_detection(params, seg_input)[-1]
+        image_crop, scale_crop, center = self._crop_from_scoremap(image, scoremap)
+        if scoremap.shape[1:3] != (h, w):
+            scoremap = resize_bilinear(scoremap, (h, w))
+        return scoremap, image_crop, scale_crop, center
+
+    def _crop_from_scoremap(self, image, hand_scoremap):
+        """Blob -> bbox at the scoremap's own resolution -> full-res crop.
+
+        The mask/bbox math runs at ``hand_scoremap``'s resolution (so a
+        downsampled scoremap also shrinks the flood-fill pass count,
+        general.py:256); center and box size are then mapped back to image
+        coordinates with the legacy-bilinear scale factor (src = dst*in/out).
+        """
+        _, h, w, _ = image.shape
+        sh, sw = hand_scoremap.shape[1:3]
         hand_mask = single_obj_scoremap(hand_scoremap)
         center, _, crop_size_best = calc_center_bb(hand_mask)
+        if (sh, sw) != (h, w):
+            factors = jnp.array([h / sh, w / sw], center.dtype)
+            center = center * factors
+            crop_size_best = crop_size_best * jnp.max(factors)
         crop_size_best = crop_size_best * 1.25
         scale_crop = jnp.clip(CROP_SIZE / crop_size_best, 0.25, 5.0)  # [B, 1]
         image_crop = crop_image_from_xy(image, center, CROP_SIZE, scale_crop[:, 0])
-        return hand_scoremap, image_crop, scale_crop, center
+        return image_crop, scale_crop, center
 
     def _decode_uv(self, scoremap_small, center, scale_crop):
         """Keypoints from the 32x32 scoremap -> global (u, v) coordinates.

@@ -21,15 +21,35 @@ from hand3d_tpu.weights import load_npz
 
 class HandPoseEstimator:
     def __init__(self, params, batch_size=16, input_hw=(240, 320),
-                 compute_dtype=None, left_hand=True):
-        self.net = ColorHandPose3D(compute_dtype=compute_dtype)
-        self.params = jax.device_put(params)
+                 compute_dtype=None, left_hand=True, seg_scale=1.0,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh (parallel.make_mesh) for
+        multi-chip serving — the batch shards over the "data" axis and the
+        params get the tensor-parallel layout for the mesh's "model" axis
+        (replicated when n_model == 1). batch_size must be divisible by the
+        data-axis size."""
+        self.net = ColorHandPose3D(compute_dtype=compute_dtype,
+                                   seg_scale=seg_scale)
         self.batch_size = batch_size
         self.input_hw = tuple(input_hw)
-        self.hand_side = jnp.tile(
+        self._input_sharding = None
+        hand_side = jnp.tile(
             jnp.asarray([[1.0, 0.0]] if left_hand else [[0.0, 1.0]]),
             (batch_size, 1),
         )
+        if mesh is not None:
+            from hand3d_tpu.parallel import mesh as pmesh
+
+            n_data = mesh.shape[pmesh.DATA_AXIS]
+            assert batch_size % n_data == 0, (
+                f"batch_size {batch_size} not divisible by data axis {n_data}"
+            )
+            self.params = pmesh.shard_params(mesh, params)
+            self._input_sharding = pmesh.batch_sharding(mesh)
+            self.hand_side = jax.device_put(hand_side, self._input_sharding)
+        else:
+            self.params = jax.device_put(params)
+            self.hand_side = hand_side
 
         @jax.jit
         def _fwd(params, image, hand_side):
@@ -48,11 +68,16 @@ class HandPoseEstimator:
     def from_npz(cls, path, **kwargs):
         return cls(load_npz(path), **kwargs)
 
+    def _to_device(self, batch):
+        if self._input_sharding is not None:
+            return jax.device_put(batch, self._input_sharding)
+        return jnp.asarray(batch)
+
     def warmup(self):
         """Compile ahead of serving traffic."""
         dummy = np.zeros((self.batch_size, *self.input_hw, 3), np.float32)
         jax.block_until_ready(
-            self._fwd(self.params, jnp.asarray(dummy), self.hand_side)
+            self._fwd(self.params, self._to_device(dummy), self.hand_side)
         )
         return self
 
@@ -82,7 +107,7 @@ class HandPoseEstimator:
                     (self.batch_size - valid, *chunk.shape[1:]), chunk.dtype
                 )
                 chunk = np.concatenate([chunk, pad])
-            out = self._fwd(self.params, jnp.asarray(chunk), self.hand_side)
+            out = self._fwd(self.params, self._to_device(chunk), self.hand_side)
             pending.append((out, valid))
         outs = [
             {k: np.asarray(v)[:valid] for k, v in out.items()}

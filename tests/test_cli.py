@@ -131,6 +131,32 @@ def test_serving_estimator(monkeypatch):
     assert out["hand_scoremap"].shape == (3, 120, 160, 2)
 
 
+def test_serving_estimator_mesh_matches_single_device():
+    """Mesh-sharded serving (DP x TP over the virtual 8-device mesh) returns
+    the same predictions as single-device serving."""
+    from hand3d_tpu.parallel import make_mesh
+    from hand3d_tpu.serving import HandPoseEstimator
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+
+    net = ColorHandPose3D()
+    params = net.init(jax.random.PRNGKey(0))
+    images = (np.random.RandomState(1).rand(4, 120, 160, 3) * 255).astype(
+        np.uint8
+    )
+    single = HandPoseEstimator(params, batch_size=4, input_hw=(120, 160))
+    sharded = HandPoseEstimator(
+        params, batch_size=4, input_hw=(120, 160), mesh=make_mesh(4, 2)
+    )
+    out_s = single.predict(images)
+    out_m = sharded.predict(images)
+    np.testing.assert_allclose(
+        out_m["keypoint_coord3d"], out_s["keypoint_coord3d"], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        out_m["keypoint_uv21"], out_s["keypoint_uv21"], atol=1e-4
+    )
+
+
 def test_cli_eval2d(rhd_bin, monkeypatch, capsys):
     from hand3d_tpu.cli import eval2d as cli
 

@@ -132,6 +132,51 @@ def test_cascade_soft_argmax_decode(rng):
     assert np.all(np.isfinite(np.asarray(out.keypoint_uv21)))
 
 
+def test_cascade_seg_scale_fast_mode(rng):
+    """seg_scale<1 keeps the full output contract (shapes, clamps, finite)."""
+    net = ColorHandPose3D(seg_scale=0.5)
+    params = net.init(KEY)
+    image = jnp.asarray(rng.rand(2, 120, 160, 3).astype(np.float32) - 0.5)
+    hand_side = jnp.tile(jnp.asarray([[1.0, 0.0]]), (2, 1))
+    out = jax.jit(lambda p, im, hs: net.inference(p, im, hs))(
+        params, image, hand_side
+    )
+    assert out.hand_scoremap.shape == (2, 120, 160, 2)
+    assert out.image_crop.shape == (2, 256, 256, 3)
+    assert out.keypoints_scoremap.shape == (2, 256, 256, 21)
+    assert out.keypoint_coord3d.shape == (2, 21, 3)
+    assert np.all(np.isfinite(np.asarray(out.keypoint_coord3d)))
+    assert np.all(np.asarray(out.scale_crop) >= 0.25)
+    assert np.all(np.asarray(out.scale_crop) <= 5.0)
+
+
+def test_crop_from_scoremap_lowres_box_matches_fullres():
+    """A half-res scoremap must localize the same crop box as the full-res
+    one: center within a pixel-ish, scale within the resampling tolerance."""
+    h, w = 64, 80
+    bg = np.stack([np.full((h, w), 5.0), np.full((h, w), -5.0)], -1)
+
+    def blob_map(hh, ww, r0, r1, c0, c1):
+        sm = np.stack([np.full((hh, ww), 5.0), np.full((hh, ww), -5.0)], -1)
+        sm[r0:r1, c0:c1, 0] = -5.0
+        sm[r0:r1, c0:c1, 1] = 5.0
+        return jnp.asarray(sm[None].astype(np.float32))
+
+    del bg
+    net = ColorHandPose3D()
+    image = jnp.zeros((1, h, w, 3), jnp.float32)
+    full = blob_map(h, w, 20, 40, 30, 50)
+    half = blob_map(h // 2, w // 2, 10, 20, 15, 25)
+    _, scale_f, center_f = net._crop_from_scoremap(image, full)
+    _, scale_h, center_h = net._crop_from_scoremap(image, half)
+    np.testing.assert_allclose(
+        np.asarray(center_h), np.asarray(center_f), atol=1.5
+    )
+    np.testing.assert_allclose(
+        np.asarray(scale_h), np.asarray(scale_f), rtol=0.15
+    )
+
+
 def test_cascade_odd_input_dims(rng):
     """Non-multiple-of-8 frames must work (VALID pools drop edge rows, the
     final upsample restores the exact input size, like the reference)."""
