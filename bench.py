@@ -47,11 +47,16 @@ def _chained(net, n):
 
 
 def bench_cascade(batch=32, chain=16, trials=3, compute_dtype=None,
-                  seg_scale=1.0):
+                  seg_scale=1.0, quantize=None):
     from hand3d_tpu.models.cascade import ColorHandPose3D
 
     net = ColorHandPose3D(compute_dtype=compute_dtype, seg_scale=seg_scale)
     params = net.init(jax.random.PRNGKey(0))
+    if quantize == "int8":
+        from hand3d_tpu.ops.quant import quantize_params_int8
+
+        min_ch = int(os.environ.get("HAND3D_BENCH_QUANT_MINCH", "128"))
+        params = quantize_params_int8(params, min_in_chan=min_ch)
     image = jax.device_put(
         jax.random.uniform(jax.random.PRNGKey(1), (batch, 240, 320, 3)) - 0.5
     )
@@ -94,7 +99,10 @@ def _child(batch):
     # HAND3D_BENCH_SEG_SCALE < 1 benchmarks the low-res-localization speed
     # preset (models/cascade.py seg_scale); the headline stays at parity 1.0.
     seg_scale = float(os.environ.get("HAND3D_BENCH_SEG_SCALE", "1.0"))
-    _emit(bench_cascade(batch=batch, compute_dtype=dtype, seg_scale=seg_scale))
+    # HAND3D_BENCH_QUANT=int8 benchmarks the post-training-quantized path.
+    quantize = os.environ.get("HAND3D_BENCH_QUANT") or None
+    _emit(bench_cascade(batch=batch, compute_dtype=dtype, seg_scale=seg_scale,
+                        quantize=quantize))
 
 
 def main():

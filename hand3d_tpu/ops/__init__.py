@@ -32,6 +32,7 @@ from hand3d_tpu.ops.segmentation import (
 )
 from hand3d_tpu.ops.keypoints import detect_keypoints_2d, trafo_coords, soft_argmax_2d
 from hand3d_tpu.ops import nn
+from hand3d_tpu.ops.quant import quantize_params_int8
 
 __all__ = [
     "atan2_safe",

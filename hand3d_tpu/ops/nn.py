@@ -29,7 +29,15 @@ def leaky_relu(x):
 
 
 def conv2d(x, params, stride=1, compute_dtype=None):
-    """SAME-padded conv + bias. params: {"weights": [kh,kw,ic,oc], "biases": [oc]}."""
+    """SAME-padded conv + bias. params: {"weights": [kh,kw,ic,oc], "biases": [oc]}.
+
+    A layer dict in the int8 layout (ops.quant.quantize_params_int8) takes
+    the int8 MXU path instead; compute_dtype is ignored for those.
+    """
+    if "weights_q" in params:
+        from hand3d_tpu.ops import quant
+
+        return quant.conv2d_int8(x, params, stride, dimension_numbers=_DN)
     w, b = params["weights"], params["biases"]
     if compute_dtype is not None:
         x, w = x.astype(compute_dtype), w.astype(compute_dtype)
@@ -46,6 +54,11 @@ def conv2d_relu(x, params, stride=1, compute_dtype=None):
 
 def conv2d_transpose(x, params, stride=2, compute_dtype=None):
     """SAME-padded transposed conv + bias (general.py:67-84, ``upconv``)."""
+    if "weights_q" in params:
+        from hand3d_tpu.ops import quant
+
+        params = {"weights": quant.dequantize_weights(params),
+                  "biases": params["biases"]}
     w, b = params["weights"], params["biases"]
     if compute_dtype is not None:
         x, w = x.astype(compute_dtype), w.astype(compute_dtype)
@@ -91,6 +104,10 @@ def avg_pool(x, size, stride=None, padding="SAME"):
 
 def dense(x, params, compute_dtype=None):
     """matmul + bias. params: {"weights": [in,out], "biases": [out]} — general.py:112-130."""
+    if "weights_q" in params:
+        from hand3d_tpu.ops import quant
+
+        return quant.dense_int8(x, params)
     w, b = params["weights"], params["biases"]
     if compute_dtype is not None:
         x, w = x.astype(compute_dtype), w.astype(compute_dtype)

@@ -22,12 +22,21 @@ from hand3d_tpu.weights import load_npz
 class HandPoseEstimator:
     def __init__(self, params, batch_size=16, input_hw=(240, 320),
                  compute_dtype=None, left_hand=True, seg_scale=1.0,
-                 mesh=None):
+                 mesh=None, quantize=None):
         """``mesh``: optional jax.sharding.Mesh (parallel.make_mesh) for
         multi-chip serving — the batch shards over the "data" axis and the
         params get the tensor-parallel layout for the mesh's "model" axis
         (replicated when n_model == 1). batch_size must be divisible by the
-        data-axis size."""
+        data-axis size.
+
+        ``quantize``: None or "int8" — post-training int8 quantization of
+        the conv/FC path (ops.quant; ~2x MXU rate on v5e). Composable with
+        seg_scale and mesh."""
+        assert quantize in (None, "int8"), quantize
+        if quantize == "int8":
+            from hand3d_tpu.ops.quant import quantize_params_int8
+
+            params = quantize_params_int8(params)
         self.net = ColorHandPose3D(compute_dtype=compute_dtype,
                                    seg_scale=seg_scale)
         self.batch_size = batch_size

@@ -1,0 +1,138 @@
+"""int8 post-training quantization (ops/quant.py): numerics vs fp32, the
+param-tree transform, and the quantized end-to-end cascade."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hand3d_tpu.ops import nn
+from hand3d_tpu.ops.quant import (
+    dequantize_weights,
+    quantize_params_int8,
+    quantize_weights_int8,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def rel_l2(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+
+
+def test_weight_quantization_round_trip():
+    w = np.asarray(nn.xavier_conv_init(KEY, 3, 3, 32, 64))
+    w_q, scale = quantize_weights_int8(jnp.asarray(w))
+    back = np.asarray(w_q, np.float32) * np.asarray(scale)
+    # symmetric rounding: each element within half a quantization step
+    assert np.all(np.abs(back - w) <= np.asarray(scale) / 2 + 1e-7)
+    assert np.asarray(w_q).dtype == np.int8
+    # per-output-channel scales: each channel's max maps to 127
+    assert np.all(np.abs(w_q).max(axis=(0, 1, 2)) == 127)
+
+
+def test_conv2d_int8_matches_fp32_within_quant_error(rng):
+    params = nn.conv_init(KEY, 3, 3, 32, 64)
+    qparams = quantize_params_int8(params, min_in_chan=0)
+    x = jnp.asarray(rng.randn(2, 16, 16, 32).astype(np.float32))
+    ref = nn.conv2d(x, params)
+    got = nn.conv2d(x, qparams)
+    assert rel_l2(got, ref) < 0.02
+    # per-SAMPLE activation scales: batch composition must not matter
+    got_single = nn.conv2d(x[:1], qparams)
+    np.testing.assert_allclose(
+        np.asarray(got[:1]), np.asarray(got_single), atol=1e-5
+    )
+
+
+def test_conv2d_int8_stride_matches(rng):
+    params = nn.conv_init(KEY, 3, 3, 8, 16)
+    qparams = quantize_params_int8(params, min_in_chan=0)
+    x = jnp.asarray(rng.randn(1, 9, 11, 8).astype(np.float32))
+    ref = nn.conv2d(x, params, stride=2)
+    got = nn.conv2d(x, qparams, stride=2)
+    assert got.shape == ref.shape
+    assert rel_l2(got, ref) < 0.02
+
+
+def test_dense_int8_matches_fp32_within_quant_error(rng):
+    params = nn.dense_init(KEY, 128, 64)
+    qparams = quantize_params_int8(params)
+    x = jnp.asarray(rng.randn(4, 128).astype(np.float32))
+    ref = nn.dense(x, params)
+    got = nn.dense(x, qparams)
+    assert rel_l2(got, ref) < 0.02
+
+
+def test_conv2d_transpose_dequant_fallback(rng):
+    params = nn.bilinear_upconv_init(4, 8)
+    qparams = quantize_params_int8(params, min_in_chan=0)
+    x = jnp.asarray(rng.rand(1, 5, 6, 8).astype(np.float32))
+    ref = nn.conv2d_transpose(x, params)
+    got = nn.conv2d_transpose(x, qparams)
+    assert rel_l2(got, ref) < 0.01
+
+
+def test_quantize_params_tree_transform_and_idempotence():
+    tree = {
+        "Net": {
+            "conv1": nn.conv_init(KEY, 3, 3, 3, 8),
+            "fc": nn.dense_init(KEY, 8, 4),
+        }
+    }
+    q = quantize_params_int8(tree, min_in_chan=0)
+    assert set(q["Net"]["conv1"]) == {"weights_q", "weight_scale", "biases"}
+    assert set(q["Net"]["fc"]) == {"weights_q", "weight_scale", "biases"}
+    q2 = quantize_params_int8(q, min_in_chan=0)
+    np.testing.assert_array_equal(
+        np.asarray(q2["Net"]["conv1"]["weights_q"]),
+        np.asarray(q["Net"]["conv1"]["weights_q"]),
+    )
+    # dequantized kernel close to the original
+    back = dequantize_weights(q["Net"]["conv1"])
+    assert rel_l2(back, tree["Net"]["conv1"]["weights"]) < 0.01
+
+
+def test_selective_quantization_by_input_channels():
+    """Default min_in_chan keeps narrow (bandwidth-bound) layers float."""
+    tree = {
+        "conv_narrow": nn.conv_init(KEY, 3, 3, 64, 128),
+        "conv_wide": nn.conv_init(KEY, 3, 3, 256, 256),
+        "fc": nn.dense_init(KEY, 2048, 512),
+    }
+    q = quantize_params_int8(tree)
+    assert "weights" in q["conv_narrow"]  # untouched
+    assert "weights_q" in q["conv_wide"]
+    assert "weights_q" in q["fc"]
+
+
+def test_cascade_int8_close_to_fp32(rng):
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+
+    net = ColorHandPose3D()
+    params = net.init(KEY)
+    qparams = quantize_params_int8(params)
+    image = jnp.asarray(rng.rand(1, 120, 160, 3).astype(np.float32) - 0.5)
+    hand_side = jnp.asarray([[1.0, 0.0]])
+    ref = net.inference(params, image, hand_side)
+    got = net.inference(qparams, image, hand_side)
+    assert got.keypoint_coord3d.shape == (1, 21, 3)
+    assert np.all(np.isfinite(np.asarray(got.keypoint_coord3d)))
+    # deep nets accumulate quantization noise; with random (untrained)
+    # weights the 31-conv PoseNet still tracks fp32 closely
+    assert rel_l2(got.keypoints_scoremap, ref.keypoints_scoremap) < 0.15
+    assert rel_l2(got.hand_scoremap, ref.hand_scoremap) < 0.15
+
+
+def test_serving_estimator_int8(rng):
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+    from hand3d_tpu.serving import HandPoseEstimator
+
+    params = ColorHandPose3D().init(KEY)
+    est = HandPoseEstimator(
+        params, batch_size=2, input_hw=(120, 160), quantize="int8"
+    )
+    images = (rng.rand(2, 120, 160, 3) * 255).astype(np.uint8)
+    out = est.predict(images)
+    assert out["keypoint_coord3d"].shape == (2, 21, 3)
+    assert np.isfinite(out["keypoint_coord3d"]).all()
