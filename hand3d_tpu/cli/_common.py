@@ -54,6 +54,22 @@ def base_parser(description):
     return p
 
 
+def add_quantize_arg(parser):
+    parser.add_argument(
+        "--quantize", choices=["int8"], default=None,
+        help="Post-training quantization of the conv/FC path (ops.quant); "
+        "use to measure the quantized EPE delta against the fp32 numbers.",
+    )
+
+
+def maybe_quantize(params, args):
+    if getattr(args, "quantize", None) == "int8":
+        from hand3d_tpu.ops.quant import quantize_params_int8
+
+        return quantize_params_int8(params)
+    return params
+
+
 def add_mesh_arg(parser):
     parser.add_argument(
         "--mesh", default=None, metavar="DATAxMODEL",

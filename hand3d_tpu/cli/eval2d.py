@@ -8,10 +8,12 @@ corrected, 320x320 frame (--no-wrist, no scaling): 18.741 / 6.745 / 0.635.
 
 from hand3d_tpu.cli._common import (
     add_mesh_arg,
+    add_quantize_arg,
     add_weights_arg,
     build_mesh,
     base_parser,
     init_or_load,
+    maybe_quantize,
     progress_printer,
 )
 from hand3d_tpu.data.rhd import RHDDataset
@@ -30,14 +32,15 @@ def main():
     )
     p.add_argument("--no-scale-to-size", dest="scale_to_size", action="store_false")
     add_mesh_arg(p)
+    add_quantize_arg(p)
     args = p.parse_args()
 
     dataset = RHDDataset("evaluation", path=args.data)
     net = ColorHandPose3D()
-    params = init_or_load(
+    params = maybe_quantize(init_or_load(
         net, args.seed, args.weights,
         exclude_var_list=["PosePrior", "ViewpointNet"],
-    )
+    ), args)
     metrics = eval2d_full_image(
         params, dataset, args.batch_size, mesh=build_mesh(args.mesh),
         use_wrist_coord=args.wrist, scale_to_size=args.scale_to_size,

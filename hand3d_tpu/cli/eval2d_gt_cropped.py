@@ -7,10 +7,12 @@ mean EPE 9.135 px / median 5.001 px / AUC(0-30px) 0.724; retrained (row 2):
 
 from hand3d_tpu.cli._common import (
     add_mesh_arg,
+    add_quantize_arg,
     add_weights_arg,
     build_mesh,
     base_parser,
     init_or_load,
+    maybe_quantize,
     progress_printer,
 )
 from hand3d_tpu.data.rhd import RHDDataset
@@ -22,6 +24,7 @@ def main():
     add_weights_arg(p)
     p.add_argument("--data", default=None, help="Path to rhd_evaluation.bin")
     add_mesh_arg(p)
+    add_quantize_arg(p)
     args = p.parse_args()
 
     dataset = RHDDataset("evaluation", path=args.data)
@@ -32,10 +35,10 @@ def main():
 
             return {posenet.SCOPE: posenet.init(key)}
 
-    params = init_or_load(
+    params = maybe_quantize(init_or_load(
         _PoseNetOnly(), args.seed, args.weights,
         exclude_var_list=["PosePrior", "ViewpointNet", "HandSegNet"],
-    )
+    ), args)
     metrics = eval2d_gt_cropped(
         params["PoseNet2D"], dataset, args.batch_size, mesh=build_mesh(args.mesh),
         progress=progress_printer(len(dataset), args.batch_size),

@@ -7,10 +7,12 @@ local_w_xyz_loss 21.950 mm, proposed 18.840 mm.
 
 from hand3d_tpu.cli._common import (
     add_mesh_arg,
+    add_quantize_arg,
     add_weights_arg,
     build_mesh,
     base_parser,
     init_or_load,
+    maybe_quantize,
     progress_printer,
 )
 from hand3d_tpu.data.rhd import RHDDataset
@@ -24,11 +26,12 @@ def main():
     p.add_argument("--variant", choices=VARIANTS, default="proposed")
     p.add_argument("--data", default=None, help="Path to rhd_evaluation.bin")
     add_mesh_arg(p)
+    add_quantize_arg(p)
     args = p.parse_args()
 
     dataset = RHDDataset("evaluation", path=args.data)
     net = PosePriorNetwork(args.variant)
-    params = init_or_load(net, args.seed, args.weights)
+    params = maybe_quantize(init_or_load(net, args.seed, args.weights), args)
     metrics = eval3d_lifting(
         args.variant, params, dataset, args.batch_size, mesh=build_mesh(args.mesh),
         progress=progress_printer(len(dataset), args.batch_size),

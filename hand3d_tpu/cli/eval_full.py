@@ -8,10 +8,12 @@ Figure-9 PCK plot against the published STB baselines.
 
 from hand3d_tpu.cli._common import (
     add_mesh_arg,
+    add_quantize_arg,
     add_weights_arg,
     build_mesh,
     base_parser,
     init_or_load,
+    maybe_quantize,
     progress_printer,
 )
 from hand3d_tpu.data.rhd import RHDDataset
@@ -28,6 +30,7 @@ def main():
     p.add_argument("--data", default=None, help="Path to the .bin file")
     p.add_argument("--plot", default=None, help="Write Figure-9 PCK plot here")
     add_mesh_arg(p)
+    add_quantize_arg(p)
     args = p.parse_args()
 
     if args.dataset == "stb":
@@ -36,7 +39,7 @@ def main():
         dataset = RHDDataset("evaluation", path=args.data)
 
     net = ColorHandPose3D()
-    params = init_or_load(net, args.seed, args.weights)
+    params = maybe_quantize(init_or_load(net, args.seed, args.weights), args)
     metrics = eval_full_pipeline(
         params, dataset, args.batch_size, mesh=build_mesh(args.mesh),
         progress=progress_printer(len(dataset), args.batch_size),

@@ -164,3 +164,15 @@ def test_cli_eval2d(rhd_bin, monkeypatch, capsys):
         cli, ["--data", rhd_bin, "--batch-size", "2", "--no-wrist"], monkeypatch
     )
     assert "Average mean EPE" in capsys.readouterr().out
+
+
+def test_cli_eval3d_quantized(rhd_bin, monkeypatch, capsys):
+    from hand3d_tpu.cli import eval3d as cli
+
+    _run_main(
+        cli,
+        ["--data", rhd_bin, "--batch-size", "2", "--variant", "direct",
+         "--quantize", "int8"],
+        monkeypatch,
+    )
+    assert "Average mean EPE" in capsys.readouterr().out
