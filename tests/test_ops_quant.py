@@ -136,3 +136,23 @@ def test_serving_estimator_int8(rng):
     out = est.predict(images)
     assert out["keypoint_coord3d"].shape == (2, 21, 3)
     assert np.isfinite(out["keypoint_coord3d"]).all()
+
+
+def test_serving_int8_mesh_fast_composition(rng):
+    """quantize="int8" + mesh + seg_scale compose; mesh-sharded quantized
+    serving matches single-device quantized serving."""
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+    from hand3d_tpu.parallel import make_mesh
+    from hand3d_tpu.serving import HandPoseEstimator
+
+    params = ColorHandPose3D().init(KEY)
+    images = (rng.rand(4, 120, 160, 3) * 255).astype(np.uint8)
+    kw = dict(batch_size=4, input_hw=(120, 160), quantize="int8",
+              seg_scale=0.5)
+    single = HandPoseEstimator(params, **kw)
+    sharded = HandPoseEstimator(params, mesh=make_mesh(4, 2), **kw)
+    out_s = single.predict(images)
+    out_m = sharded.predict(images)
+    np.testing.assert_allclose(
+        out_m["keypoint_coord3d"], out_s["keypoint_coord3d"], atol=1e-5
+    )
