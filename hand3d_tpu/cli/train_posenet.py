@@ -39,6 +39,10 @@ def main():
     p.add_argument("--snapshot-dir", default="snapshots_posenet")
     p.add_argument("--snapshot-freq", type=int, default=5000)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--step-timeout", type=float, default=None,
+                   help="Watchdog: abort (exit 17) if no step completes "
+                        "within this many seconds (hang detection); set "
+                        "well above the first step's compile time.")
     p.add_argument("--crop-size", type=int, default=256,
                    help="GT crop resolution (reference: 256); smaller "
                         "values are useful for smoke tests")
@@ -84,6 +88,7 @@ def main():
         train_loss, params, optimizer, pipeline, args.max_iter,
         mesh=mesh, seed=args.seed, snapshot_dir=args.snapshot_dir,
         snapshot_freq=args.snapshot_freq, resume=args.resume,
+        step_timeout=args.step_timeout,
     )
 
 

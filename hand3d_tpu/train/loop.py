@@ -8,13 +8,50 @@ with one driver that any stage reuses. Differences by design:
   * snapshots keep optimizer state and support exact resume.
 """
 
+import os
 import sys
+import threading
 import time
 
 import jax
 
 from hand3d_tpu.train import checkpoints
 from hand3d_tpu.train.trainer import init_state, make_train_step
+
+WATCHDOG_EXIT_CODE = 17
+
+
+def _start_watchdog(timeout, progress, log):
+    """Abort the process if no training step completes within ``timeout``.
+
+    A wedged device RPC or hung collective blocks the main thread inside
+    native code where no Python exception can be raised, so the only sound
+    recovery is process-level: log, flush, and exit with a distinctive code
+    for a supervisor to restart (training resumes from the latest snapshot
+    via --resume). Returns a heartbeat callable the loop invokes per step.
+    """
+    state = {"last": time.monotonic()}
+
+    def beat():
+        state["last"] = time.monotonic()
+
+    def watch():
+        while True:
+            time.sleep(min(timeout / 4.0, 5.0))
+            stale = time.monotonic() - state["last"]
+            if stale > timeout:
+                log(
+                    f"step watchdog: no progress for {stale:.0f}s at "
+                    f"iteration {progress['iter']} — device or collective "
+                    f"hang; exiting {WATCHDOG_EXIT_CODE} so a supervisor "
+                    "can restart and --resume from the latest snapshot"
+                )
+                sys.stdout.flush()
+                sys.stderr.flush()
+                os._exit(WATCHDOG_EXIT_CODE)
+
+    threading.Thread(target=watch, daemon=True, name="step-watchdog").start()
+    return beat
 
 
 def fit(
@@ -30,12 +67,16 @@ def fit(
     snapshot_freq=5000,
     snapshot_dir=None,
     resume=False,
+    step_timeout=None,
     log=print,
 ):
     """Train ``params`` with ``loss_fn(params, batch, key)``.
 
     Returns the final TrainState. Mirrors the reference loop shape
     (loss print every 1k, snapshot every 5k, final snapshot at the end).
+    ``step_timeout``: seconds without a completed step before the watchdog
+    aborts the process (hang detection; None = disabled). Set it well above
+    the first step's compile time.
     """
     state = init_state(params, optimizer)
     start_step = 0
@@ -54,12 +95,22 @@ def fit(
     step_fn = make_train_step(loss_fn, optimizer, mesh=mesh)
     base_key = jax.random.PRNGKey(seed)
 
+    progress = {"iter": start_step}
+    beat = (
+        _start_watchdog(step_timeout, progress, log) if step_timeout else None
+    )
+
     it = pipeline.iterate(epochs=None)
     t0 = time.perf_counter()
     for i in range(start_step, max_iter):
+        progress["iter"] = i
         batch = next(it)
         key = jax.random.fold_in(base_key, i)
         state, metrics = step_fn(state, batch, key)
+        if beat is not None:
+            # dispatch is async: only count a step once its loss is real
+            float(metrics["loss"])
+            beat()
 
         if show_loss_freq and (i % show_loss_freq) == 0:
             loss_v = float(metrics["loss"])

@@ -92,6 +92,44 @@ def test_fit_lifting_proposed_runs(tmp_path):
     assert int(state.step) == 2
 
 
+def test_step_watchdog_aborts_on_hang(tmp_path):
+    """A hang (wedged device RPC / stuck collective) must abort the process
+    with the watchdog's exit code so a supervisor can restart + --resume."""
+    import subprocess
+    import sys
+
+    script = tmp_path / "hang.py"
+    script.write_text(
+        """
+import time
+import jax
+import jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+import optax
+from hand3d_tpu.train.loop import fit
+
+class HangingPipeline:
+    def iterate(self, epochs=None):
+        yield {"x": jnp.zeros((1,))}
+        time.sleep(3600)  # simulates a wedged fetch/collective
+
+def loss_fn(params, batch, key):
+    return jnp.sum(params["w"] * batch["x"])
+
+fit(loss_fn, {"w": jnp.ones((1,))}, optax.sgd(0.1), HangingPipeline(),
+    max_iter=5, show_loss_freq=0, snapshot_freq=0, step_timeout=2.0)
+"""
+    )
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo_root)
+    proc = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True,
+        timeout=120, cwd=repo_root, env=env,
+    )
+    assert proc.returncode == 17, (proc.returncode, proc.stderr[-500:])
+    assert "step watchdog" in proc.stdout + proc.stderr
+
+
 def test_export_import_params(tmp_path):
     params = {"PoseNet2D": posenet.init(jax.random.PRNGKey(0))}
     path = str(tmp_path / "params.npz")
