@@ -1,5 +1,6 @@
 from hand3d_tpu.parallel.mesh import (
     make_mesh,
+    make_multislice_mesh,
     batch_sharding,
     param_sharding,
     replicate,
@@ -8,6 +9,7 @@ from hand3d_tpu.parallel.mesh import (
 
 __all__ = [
     "make_mesh",
+    "make_multislice_mesh",
     "batch_sharding",
     "param_sharding",
     "replicate",

@@ -17,6 +17,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SLICE_AXIS = "slice"
 
 # output-channel dims smaller than this stay replicated (sharding tiny layers
 # costs more in collectives than it saves)
@@ -35,8 +36,36 @@ def make_mesh(n_data=None, n_model=1, devices=None):
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_multislice_mesh(n_slices, n_data=None, n_model=1, devices=None):
+    """("slice", "data", "model") mesh for multi-slice (DCN-connected) pods.
+
+    Slices of a multi-slice TPU deployment are joined by DCN, which is an
+    order of magnitude slower than the ICI inside a slice — so the axis
+    layout keeps everything bandwidth-hungry inside a slice: the batch
+    shards over ("slice", "data") (pure DP across slices; the only
+    cross-slice traffic is the per-step gradient all-reduce) and tensor
+    parallelism ("model") never crosses a slice boundary. Device order from
+    jax.devices() groups co-located devices first, so reshaping
+    (n_slices, n_data, n_model) maps "model"/"data" to nearby devices.
+
+    In this repo the topology is validated structurally (virtual CPU
+    devices have no DCN); the sharding/collective layout is what transfers
+    to a real multi-slice deployment.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // (n_slices * n_model)
+    assert n_slices * n_data * n_model == len(devices), (
+        f"mesh {n_slices}x{n_data}x{n_model} != {len(devices)} devices"
+    )
+    grid = np.asarray(devices).reshape(n_slices, n_data, n_model)
+    return Mesh(grid, (SLICE_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
 def batch_sharding(mesh):
-    """Shard the leading (batch) axis over "data"."""
+    """Shard the leading (batch) axis over "data" (and "slice" if present)."""
+    if SLICE_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P((SLICE_AXIS, DATA_AXIS)))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
