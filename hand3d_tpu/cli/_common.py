@@ -54,6 +54,16 @@ def base_parser(description):
     return p
 
 
+def _metrics_logger(args):
+    """MetricsLogger for --metrics-log, or None (echo stays on the prints)."""
+    path = getattr(args, "metrics_log", None)
+    if not path:
+        return None
+    from hand3d_tpu.utils.logging import MetricsLogger
+
+    return MetricsLogger(path, echo=False)
+
+
 def add_quantize_arg(parser):
     parser.add_argument(
         "--quantize", choices=["int8"], default=None,

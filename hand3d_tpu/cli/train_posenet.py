@@ -8,7 +8,8 @@ prediction heads. Optionally warm-starts from converted CPM weights.
 
 import jax
 
-from hand3d_tpu.cli._common import (
+from hand3d_tpu.cli._common import (  # noqa: F401
+    _metrics_logger,
     add_mesh_arg,
     add_weights_arg,
     base_parser,
@@ -39,6 +40,8 @@ def main():
     p.add_argument("--snapshot-dir", default="snapshots_posenet")
     p.add_argument("--snapshot-freq", type=int, default=5000)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--metrics-log", default=None,
+                   help="Append one JSON line per loss report here (JSONL).")
     p.add_argument("--step-timeout", type=float, default=None,
                    help="Watchdog: abort (exit 17) if no step completes "
                         "within this many seconds (hang detection); set "
@@ -89,6 +92,7 @@ def main():
         mesh=mesh, seed=args.seed, snapshot_dir=args.snapshot_dir,
         snapshot_freq=args.snapshot_freq, resume=args.resume,
         step_timeout=args.step_timeout,
+        metrics_logger=_metrics_logger(args),
     )
 
 

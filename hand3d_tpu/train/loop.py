@@ -69,6 +69,7 @@ def fit(
     resume=False,
     step_timeout=None,
     log=print,
+    metrics_logger=None,
 ):
     """Train ``params`` with ``loss_fn(params, batch, key)``.
 
@@ -124,6 +125,8 @@ def fit(
             rate = (i - start_step + 1) / (time.perf_counter() - t0)
             log(f"Iteration {i}\t Loss {loss_v:.1e}\t {rate:.1f} it/s")
             sys.stdout.flush()
+            if metrics_logger is not None:
+                metrics_logger.log(step=i, loss=loss_v, steps_per_s=rate)
 
         if snapshot_dir and snapshot_freq and (i % snapshot_freq) == 0 and i > 0:
             checkpoints.save_snapshot(snapshot_dir, state, step=i)

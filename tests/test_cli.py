@@ -72,14 +72,20 @@ def test_cli_train_posenet_with_npz_weights(rhd_bin, tmp_path, monkeypatch,
     weights = str(tmp_path / "warm.npz")
     save_npz(weights, {"PoseNet2D": posenet.init(jax.random.PRNGKey(7))})
     snap_dir = str(tmp_path / "snaps")
+    metrics = str(tmp_path / "metrics.jsonl")
     _run_main(
         cli,
         ["--data", rhd_bin, "--batch-size", "2", "--max-iter", "2",
          "--weights", weights, "--snapshot-dir", snap_dir,
-         "--snapshot-freq", "0"],
+         "--snapshot-freq", "0", "--metrics-log", metrics],
         monkeypatch,
     )
     assert os.path.exists(os.path.join(snap_dir, "snapshot-2.msgpack"))
+    import json
+
+    with open(metrics) as f:
+        records = [json.loads(line) for line in f]
+    assert records and {"step", "loss", "steps_per_s"} <= set(records[0])
 
 
 def test_cli_demo(tmp_path, monkeypatch, capsys):

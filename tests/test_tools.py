@@ -1,0 +1,145 @@
+"""Round-trip tests for the dataset build tools (tools/create_*_db.py) and
+the inspect_db consistency checker — the L6 tooling layer (SURVEY §2.4)."""
+
+import os
+import pickle
+import sys
+
+import numpy as np
+import pytest
+
+TOOLS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+sys.path.insert(0, TOOLS)
+
+
+def _run_tool(module, argv, monkeypatch):
+    monkeypatch.setattr(sys, "argv", ["prog"] + argv)
+    module.main()
+
+
+def _save_png(path, arr):
+    from PIL import Image
+
+    Image.fromarray(arr).save(path)
+
+
+def test_create_binary_db_round_trip(tmp_path, monkeypatch):
+    import create_binary_db as tool
+
+    rng = np.random.RandomState(0)
+    root = tmp_path / "RHD_published_v2"
+    for sub in ("color", "mask"):
+        (root / "evaluation" / sub).mkdir(parents=True)
+
+    anno_all, truth = {}, {}
+    for sid in range(2):
+        xyz = rng.randn(42, 3).astype(np.float32)
+        uv = (rng.rand(42, 2) * 320).astype(np.float32)
+        vis = rng.randint(0, 2, 42).astype(np.float32)
+        K = (np.eye(3) * 300 + rng.rand(3, 3)).astype(np.float32)
+        anno_all[sid] = {
+            "xyz": xyz,
+            "uv_vis": np.concatenate([uv, vis[:, None]], 1),
+            "K": K,
+        }
+        img = rng.randint(0, 256, (320, 320, 3), dtype=np.uint8)
+        mask = rng.randint(0, 34, (320, 320), dtype=np.uint8)
+        _save_png(str(root / "evaluation" / "color" / ("%.5d.png" % sid)), img)
+        _save_png(str(root / "evaluation" / "mask" / ("%.5d.png" % sid)), mask)
+        truth[sid] = (xyz, uv, vis, K, img, mask)
+
+    with open(root / "evaluation" / "anno_evaluation.pickle", "wb") as f:
+        pickle.dump(anno_all, f)
+
+    out = str(tmp_path / "rhd_evaluation.bin")
+    _run_tool(
+        tool,
+        ["--rhd-path", str(root), "--set", "evaluation", "--out", out],
+        monkeypatch,
+    )
+
+    from hand3d_tpu.data.rhd import RHDDataset
+
+    ds = RHDDataset("evaluation", path=out)
+    assert len(ds) == 2
+    raw = ds.raw_batch(np.arange(2))
+    for sid in range(2):
+        xyz, uv, vis, K, img, mask = truth[sid]
+        np.testing.assert_allclose(raw["kp_xyz"][sid], xyz, rtol=1e-6)
+        np.testing.assert_allclose(raw["kp_uv"][sid], uv, rtol=1e-6)
+        np.testing.assert_allclose(raw["cam_mat"][sid], K, rtol=1e-6)
+        np.testing.assert_array_equal(raw["image"][sid], img)
+        np.testing.assert_array_equal(raw["hand_parts"][sid], mask)
+        np.testing.assert_array_equal(raw["kp_vis"][sid], vis.astype(np.uint8))
+
+
+def test_create_stb_db_round_trip(tmp_path, monkeypatch):
+    scipy_io = pytest.importorskip("scipy.io")
+    import create_stb_db as tool
+
+    rng = np.random.RandomState(1)
+    root = tmp_path / "StereoHandTracking"
+    (root / "labels").mkdir(parents=True)
+    (root / "B1Counting").mkdir()
+
+    frames = 2
+    monkeypatch.setattr(tool, "SEQUENCES", ["B1Counting"])
+    monkeypatch.setattr(tool, "FRAMES_PER_SEQ", frames)
+
+    # handPara: [3, 21, frames], mm, in front of the camera (z > 0)
+    hand_para = rng.rand(3, 21, frames).astype(np.float64) * 100
+    hand_para[2] += 500
+    scipy_io.savemat(str(root / "labels" / "B1Counting_BB.mat"),
+                     {"handPara": hand_para})
+    imgs = {}
+    for i in range(frames):
+        for side in ("left", "right"):
+            img = rng.randint(0, 256, (480, 640, 3), dtype=np.uint8)
+            _save_png(str(root / "B1Counting" / f"BB_{side}_{i}.png"), img)
+            imgs[(side, i)] = img
+
+    out = str(tmp_path / "stb_eval.bin")
+    _run_tool(tool, ["--stb-path", str(root), "--out", out], monkeypatch)
+
+    from hand3d_tpu.data.stb import STBDataset
+
+    ds = STBDataset("evaluation", path=out)
+    assert len(ds) == 2 * frames  # left + right per frame
+    raw = ds.raw_batch(np.arange(len(ds)))
+    for i in range(frames):
+        xyz_l = hand_para[:, :, i].T
+        for j, (side, xyz) in enumerate(
+            [("left", xyz_l), ("right", xyz_l - [tool.BASELINE_MM, 0, 0])]
+        ):
+            r = 2 * i + j
+            np.testing.assert_allclose(
+                raw["kp_xyz"][r], xyz.astype(np.float32), rtol=1e-5
+            )
+            np.testing.assert_array_equal(raw["image"][r], imgs[(side, i)])
+            # stored uv must equal the projection through the BB intrinsics
+            uvw = xyz @ tool.K.T
+            np.testing.assert_allclose(
+                raw["kp_uv_vis"][r, :, :2],
+                (uvw[:, :2] / uvw[:, 2:]).astype(np.float32), rtol=1e-4,
+            )
+            np.testing.assert_array_equal(raw["kp_uv_vis"][r, :, 2], 1.0)
+
+
+def test_inspect_db_writes_figure(tmp_path, monkeypatch):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixtures import make_rhd_bin
+
+    import inspect_db as tool
+
+    bin_path = str(tmp_path / "rhd.bin")
+    make_rhd_bin(bin_path, num_records=2)
+    out = str(tmp_path / "inspect.png")
+    _run_tool(
+        tool,
+        ["--dataset", "rhd", "--data", bin_path, "--num", "2", "--out", out],
+        monkeypatch,
+    )
+    assert os.path.exists(out)
