@@ -10,7 +10,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from hand3d_tpu.cli._common import add_weights_arg, init_or_load
+from hand3d_tpu.cli._common import (
+    add_quantize_arg,
+    add_weights_arg,
+    init_or_load,
+    maybe_quantize,
+)
 from hand3d_tpu.models.cascade import ColorHandPose3D
 from hand3d_tpu.ops.image import resize_bilinear
 from hand3d_tpu.utils.viz import plot_hand, plot_hand_3d
@@ -32,10 +37,13 @@ def main():
     p.add_argument("--out-dir", default=".", help="Where to write figures")
     p.add_argument("--left", action="store_true", default=True,
                    help="Treat the hand as a left hand (default, as run.py)")
+    p.add_argument("--seg-scale", type=float, default=1.0,
+                   help="<1 = fast localization preset (models.cascade)")
+    add_quantize_arg(p)
     args = p.parse_args()
 
-    net = ColorHandPose3D()
-    params = init_or_load(net, 0, args.weights)
+    net = ColorHandPose3D(seg_scale=args.seg_scale)
+    params = maybe_quantize(init_or_load(net, 0, args.weights), args)
     hand_side = jnp.asarray([[1.0, 0.0]] if args.left else [[0.0, 1.0]])
 
     @jax.jit
