@@ -101,6 +101,10 @@ def _child(batch):
     seg_scale = float(os.environ.get("HAND3D_BENCH_SEG_SCALE", "1.0"))
     # HAND3D_BENCH_QUANT=int8 benchmarks the post-training-quantized path.
     quantize = os.environ.get("HAND3D_BENCH_QUANT") or None
+    assert quantize in (None, "int8"), (
+        f"HAND3D_BENCH_QUANT={quantize!r} — only 'int8' is supported; "
+        "refusing to silently benchmark fp32"
+    )
     _emit(bench_cascade(batch=batch, compute_dtype=dtype, seg_scale=seg_scale,
                         quantize=quantize))
 

@@ -35,8 +35,10 @@ def main():
     add_weights_arg(p)
     p.add_argument("images", nargs="+", help="Input image files")
     p.add_argument("--out-dir", default=".", help="Where to write figures")
-    p.add_argument("--left", action="store_true", default=True,
+    p.add_argument("--left", dest="left", action="store_true", default=True,
                    help="Treat the hand as a left hand (default, as run.py)")
+    p.add_argument("--right", dest="left", action="store_false",
+                   help="Treat the hand as a right hand")
     p.add_argument("--seg-scale", type=float, default=1.0,
                    help="<1 = fast localization preset (models.cascade)")
     add_quantize_arg(p)

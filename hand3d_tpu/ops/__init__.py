@@ -57,4 +57,5 @@ __all__ = [
     "trafo_coords",
     "soft_argmax_2d",
     "nn",
+    "quantize_params_int8",
 ]

@@ -69,6 +69,14 @@ def batch_sharding(mesh):
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def batch_shard_count(mesh):
+    """How many ways batch_sharding(mesh) splits the leading axis."""
+    n = mesh.shape[DATA_AXIS]
+    if SLICE_AXIS in mesh.axis_names:
+        n *= mesh.shape[SLICE_AXIS]
+    return n
+
+
 def replicate(mesh):
     return NamedSharding(mesh, P())
 
@@ -77,8 +85,11 @@ def _spec_for_param(path, value, model_size):
     """Tensor-parallel PartitionSpec for one parameter.
 
     Conv kernels [kh, kw, in, out] and dense kernels [in, out] shard their
-    output channel over "model" when it is large and divisible; biases
-    follow their kernel. Everything else is replicated.
+    output channel over "model" when it is large and divisible; biases and
+    per-channel quantization scales follow their kernel. Covers both the
+    float layout ({"weights", "biases"}) and the int8 layout
+    ({"weights_q", "weight_scale", "biases"}, ops.quant). Everything else
+    is replicated.
     """
     if model_size <= 1:
         return P()
@@ -86,11 +97,11 @@ def _spec_for_param(path, value, model_size):
     out_dim = value.shape[-1]
     if out_dim < _MIN_SHARD_DIM or out_dim % model_size != 0:
         return P()
-    if leaf == "weights" and value.ndim == 4:
+    if leaf in ("weights", "weights_q") and value.ndim == 4:
         return P(None, None, None, MODEL_AXIS)
-    if leaf == "weights" and value.ndim == 2:
+    if leaf in ("weights", "weights_q") and value.ndim == 2:
         return P(None, MODEL_AXIS)
-    if leaf == "biases" and value.ndim == 1:
+    if leaf in ("biases", "weight_scale") and value.ndim == 1:
         return P(MODEL_AXIS)
     return P()
 

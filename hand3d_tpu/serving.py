@@ -49,9 +49,10 @@ class HandPoseEstimator:
         if mesh is not None:
             from hand3d_tpu.parallel import mesh as pmesh
 
-            n_data = mesh.shape[pmesh.DATA_AXIS]
-            assert batch_size % n_data == 0, (
-                f"batch_size {batch_size} not divisible by data axis {n_data}"
+            n_shards = pmesh.batch_shard_count(mesh)
+            assert batch_size % n_shards == 0, (
+                f"batch_size {batch_size} not divisible by the mesh's "
+                f"{n_shards} batch shards (slice x data)"
             )
             self.params = pmesh.shard_params(mesh, params)
             self._input_sharding = pmesh.batch_sharding(mesh)

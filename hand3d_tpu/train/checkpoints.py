@@ -23,12 +23,25 @@ _SNAP_RE = re.compile(r"snapshot-(\d+)\.msgpack$")
 
 
 def save_snapshot(directory, state, step=None, keep=1):
-    """Write snapshot-<step>.msgpack into ``directory``; prune old ones."""
+    """Write snapshot-<step>.msgpack into ``directory``; prune old ones.
+
+    The write is atomic (tmp file + rename, fsynced): the training loop can
+    be hard-killed mid-save (step watchdog, OOM-killer, preemption), and a
+    truncated snapshot-<step>.msgpack would otherwise be what
+    latest_snapshot() hands to --resume. Serialization (which fetches
+    device arrays — the very operation a wedged device hangs in) happens
+    before the final file ever exists.
+    """
     os.makedirs(directory, exist_ok=True)
     step = int(step if step is not None else state.step)
     path = os.path.join(directory, f"snapshot-{step}.msgpack")
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(state))
+    payload = serialization.to_bytes(state)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
     snaps = sorted_snapshots(directory)
     for old_step, old_path in snaps[:-keep]:
         os.remove(old_path)

@@ -21,37 +21,49 @@ from hand3d_tpu.train.trainer import init_state, make_train_step
 WATCHDOG_EXIT_CODE = 17
 
 
-def _start_watchdog(timeout, progress, log):
+class _Watchdog:
     """Abort the process if no training step completes within ``timeout``.
 
     A wedged device RPC or hung collective blocks the main thread inside
     native code where no Python exception can be raised, so the only sound
     recovery is process-level: log, flush, and exit with a distinctive code
     for a supervisor to restart (training resumes from the latest snapshot
-    via --resume). Returns a heartbeat callable the loop invokes per step.
+    via --resume). ``beat()`` marks progress; ``stop()`` disarms it when the
+    loop returns — otherwise eval/export/a second fit() running after
+    training would be killed ``timeout`` seconds later.
     """
-    state = {"last": time.monotonic()}
 
-    def beat():
-        state["last"] = time.monotonic()
+    def __init__(self, timeout, progress, log):
+        self.timeout = timeout
+        self.progress = progress
+        self.log = log
+        self._last = time.monotonic()
+        self._stopped = False
+        threading.Thread(
+            target=self._watch, daemon=True, name="step-watchdog"
+        ).start()
 
-    def watch():
-        while True:
-            time.sleep(min(timeout / 4.0, 5.0))
-            stale = time.monotonic() - state["last"]
-            if stale > timeout:
-                log(
+    def beat(self):
+        self._last = time.monotonic()
+
+    def stop(self):
+        self._stopped = True
+
+    def _watch(self):
+        while not self._stopped:
+            time.sleep(min(self.timeout / 4.0, 5.0))
+            stale = time.monotonic() - self._last
+            if not self._stopped and stale > self.timeout:
+                self.log(
                     f"step watchdog: no progress for {stale:.0f}s at "
-                    f"iteration {progress['iter']} — device or collective "
-                    f"hang; exiting {WATCHDOG_EXIT_CODE} so a supervisor "
-                    "can restart and --resume from the latest snapshot"
+                    f"iteration {self.progress['iter']} — device or "
+                    f"collective hang; exiting {WATCHDOG_EXIT_CODE} so a "
+                    "supervisor can restart and --resume from the latest "
+                    "snapshot"
                 )
                 sys.stdout.flush()
                 sys.stderr.flush()
                 os._exit(WATCHDOG_EXIT_CODE)
-
-    threading.Thread(target=watch, daemon=True, name="step-watchdog").start()
-    return beat
 
 
 def fit(
@@ -97,21 +109,42 @@ def fit(
     base_key = jax.random.PRNGKey(seed)
 
     progress = {"iter": start_step}
-    beat = (
-        _start_watchdog(step_timeout, progress, log) if step_timeout else None
+    watchdog = (
+        _Watchdog(step_timeout, progress, log) if step_timeout else None
     )
-
     it = pipeline.iterate(epochs=None)
     t0 = time.perf_counter()
+    try:
+        state = _run_loop(
+            state, step_fn, it, base_key, start_step, max_iter, progress,
+            watchdog, show_loss_freq, snapshot_freq, snapshot_dir,
+            metrics_logger, log, t0,
+        )
+    finally:
+        # disarm even on exceptions a caller may catch — otherwise whatever
+        # runs after fit() (eval, export, another fit) is killed later
+        if watchdog is not None:
+            watchdog.stop()
+    return state
+
+
+def _run_loop(state, step_fn, it, base_key, start_step, max_iter, progress,
+              watchdog, show_loss_freq, snapshot_freq, snapshot_dir,
+              metrics_logger, log, t0):
+    pending_loss = None  # previous step's loss, fetched one step behind
     for i in range(start_step, max_iter):
         progress["iter"] = i
         batch = next(it)
         key = jax.random.fold_in(base_key, i)
         state, metrics = step_fn(state, batch, key)
-        if beat is not None:
-            # dispatch is async: only count a step once its loss is real
-            float(metrics["loss"])
-            beat()
+        if watchdog is not None:
+            # dispatch is async: a step only counts once its loss value is
+            # real. Fetch the PREVIOUS step's loss so one step stays in
+            # flight and the heartbeat doesn't serialize host and device.
+            if pending_loss is not None:
+                float(pending_loss)
+                watchdog.beat()
+            pending_loss = metrics["loss"]
 
         if show_loss_freq and (i % show_loss_freq) == 0:
             loss_v = float(metrics["loss"])
@@ -132,6 +165,11 @@ def fit(
             checkpoints.save_snapshot(snapshot_dir, state, step=i)
             log("Saved a snapshot.")
 
+    if watchdog is not None and pending_loss is not None:
+        # the last in-flight step must also complete under the watchdog
+        float(pending_loss)
+        watchdog.beat()
     if snapshot_dir:
+        # the final save fetches device state — keep it under the watchdog
         checkpoints.save_snapshot(snapshot_dir, state, step=max_iter)
     return state

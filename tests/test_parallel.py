@@ -38,6 +38,33 @@ def test_multislice_mesh_layout():
     assert ids[1, 0, 0] - ids[0, 0, 0] == 4
 
 
+def test_param_sharding_covers_quantized_layout():
+    """int8 layers must get the same TP layout as float ones: kernel +
+    per-channel scale + biases all shard over "model" together."""
+    from hand3d_tpu.ops.quant import quantize_params_int8
+
+    params = {
+        "wide": nn.conv_init(jax.random.PRNGKey(0), 3, 3, 256, 256),
+        "narrow": nn.conv_init(jax.random.PRNGKey(1), 3, 3, 256, 64),
+    }
+    q = quantize_params_int8(params, min_in_chan=0)
+    sh = param_sharding(make_mesh(4, 2), q)
+    assert sh["wide"]["weights_q"].spec == P(None, None, None, "model")
+    assert sh["wide"]["weight_scale"].spec == P("model")
+    assert sh["wide"]["biases"].spec == P("model")
+    # small out_dim stays fully replicated — consistently across all leaves
+    assert sh["narrow"]["weights_q"].spec == P()
+    assert sh["narrow"]["weight_scale"].spec == P()
+    assert sh["narrow"]["biases"].spec == P()
+
+
+def test_batch_shard_count_multislice():
+    from hand3d_tpu.parallel.mesh import batch_shard_count
+
+    assert batch_shard_count(make_mesh(4, 2)) == 4
+    assert batch_shard_count(make_multislice_mesh(2, 2, 2)) == 4
+
+
 def test_multislice_grad_matches_single_device():
     """A grad step on the multislice mesh equals the single-device grad."""
     params = {"fc": nn.dense_init(jax.random.PRNGKey(0), 256, 128)}

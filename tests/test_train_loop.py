@@ -130,6 +130,70 @@ fit(loss_fn, {"w": jnp.ones((1,))}, optax.sgd(0.1), HangingPipeline(),
     assert "step watchdog" in proc.stdout + proc.stderr
 
 
+def test_step_watchdog_disarms_after_fit(tmp_path):
+    """After fit() returns, the watchdog must not kill the process — eval,
+    export, or a second fit commonly run next."""
+    import subprocess
+    import sys
+
+    script = tmp_path / "disarm.py"
+    script.write_text(
+        """
+import time
+import jax
+import jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+import optax
+from hand3d_tpu.train.loop import fit
+
+class Pipeline:
+    def iterate(self, epochs=None):
+        while True:
+            yield {"x": jnp.ones((1,))}
+
+def loss_fn(params, batch, key):
+    return jnp.sum(params["w"] * batch["x"]) ** 2
+
+fit(loss_fn, {"w": jnp.ones((1,))}, optax.sgd(0.1), Pipeline(),
+    max_iter=3, show_loss_freq=0, snapshot_freq=0, step_timeout=2.0)
+time.sleep(4.0)  # longer than step_timeout: a live watchdog would fire
+print("ALIVE")
+"""
+    )
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True,
+        timeout=120, cwd=repo_root, env=dict(os.environ, PYTHONPATH=repo_root),
+    )
+    assert proc.returncode == 0, (proc.returncode, proc.stderr[-500:])
+    assert "ALIVE" in proc.stdout
+
+
+def test_snapshot_write_is_atomic(tmp_path, monkeypatch):
+    """A crash mid-serialization must not leave a truncated latest snapshot."""
+    import optax
+    from flax import serialization
+    from hand3d_tpu.train import checkpoints
+    from hand3d_tpu.train.trainer import init_state
+
+    params = {"w": np.ones((4,), np.float32)}
+    state = init_state(params, optax.sgd(0.1))
+    good = checkpoints.save_snapshot(str(tmp_path), state, step=1)
+
+    def boom(_):
+        raise RuntimeError("simulated hang/kill during serialization")
+
+    monkeypatch.setattr(serialization, "to_bytes", boom)
+    try:
+        checkpoints.save_snapshot(str(tmp_path), state, step=2)
+    except RuntimeError:
+        pass
+    # the failed save must not have produced snapshot-2; latest is intact
+    assert checkpoints.latest_snapshot(str(tmp_path)) == good
+    restored = checkpoints.restore_snapshot(good, init_state(params, optax.sgd(0.1)))
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]), params["w"])
+
+
 def test_export_import_params(tmp_path):
     params = {"PoseNet2D": posenet.init(jax.random.PRNGKey(0))}
     path = str(tmp_path / "params.npz")
