@@ -42,4 +42,12 @@ def __getattr__(name):
         from hand3d_tpu.serving import HandPoseEstimator
 
         return HandPoseEstimator
+    if name == "quantize_params_int8":
+        from hand3d_tpu.ops.quant import quantize_params_int8
+
+        return quantize_params_int8
+    if name == "make_mesh":
+        from hand3d_tpu.parallel import make_mesh
+
+        return make_mesh
     raise AttributeError(f"module 'hand3d_tpu' has no attribute {name!r}")
