@@ -64,6 +64,27 @@ def _metrics_logger(args):
     return MetricsLogger(path, echo=False)
 
 
+def add_qat_arg(parser):
+    parser.add_argument(
+        "--qat", action="store_true",
+        help="Quantization-aware training: train under the int8 fake-quant "
+        "view (ops.quant.qat_view) so the weights adapt to the deployed "
+        "int8 numerics; export + quantize_params_int8 afterwards.",
+    )
+
+
+def maybe_qat(loss_fn, args):
+    """Wrap a loss to train under the QAT view when --qat is set."""
+    if not getattr(args, "qat", False):
+        return loss_fn
+    from hand3d_tpu.ops.quant import qat_view
+
+    def wrapped(params, batch, key):
+        return loss_fn(qat_view(params), batch, key)
+
+    return wrapped
+
+
 def add_quantize_arg(parser):
     parser.add_argument(
         "--quantize", choices=["int8"], default=None,

@@ -10,6 +10,8 @@ import jax
 
 from hand3d_tpu.cli._common import (  # noqa: F401
     _metrics_logger,
+    add_qat_arg,
+    maybe_qat,
     add_mesh_arg,
     add_weights_arg,
     base_parser,
@@ -36,6 +38,7 @@ def main():
     p.add_argument("--snapshot-dir", default=None)
     p.add_argument("--snapshot-freq", type=int, default=5000)
     p.add_argument("--resume", action="store_true")
+    add_qat_arg(p)
     p.add_argument("--metrics-log", default=None,
                    help="Append one JSON line per loss report here (JSONL).")
     p.add_argument("--step-timeout", type=float, default=None,
@@ -79,12 +82,13 @@ def main():
         )
         return lifting_loss(args.variant, out, batch)
 
-    train_loss = loss_fn
+    base_loss = maybe_qat(loss_fn, args)
+    train_loss = base_loss
     if args.fused:
         from hand3d_tpu.data.preprocess import preprocess_rhd
         from hand3d_tpu.train.trainer import fuse_preprocess
 
-        train_loss = fuse_preprocess(loss_fn, preprocess_rhd, cfg)
+        train_loss = fuse_preprocess(base_loss, preprocess_rhd, cfg)
 
     optimizer = make_optimizer(args.lr, args.lr_iter)
     fit(

@@ -32,12 +32,20 @@ def conv2d(x, params, stride=1, compute_dtype=None):
     """SAME-padded conv + bias. params: {"weights": [kh,kw,ic,oc], "biases": [oc]}.
 
     A layer dict in the int8 layout (ops.quant.quantize_params_int8) takes
-    the int8 MXU path instead; compute_dtype is ignored for those.
+    the int8 MXU path instead; compute_dtype is ignored for those. The QAT
+    layout ({"weights_fq", ...}, ops.quant.qat_view) applies fake
+    quantization to weights and activations, then runs the float path.
     """
     if "weights_q" in params:
         from hand3d_tpu.ops import quant
 
         return quant.conv2d_int8(x, params, stride, dimension_numbers=_DN)
+    if "weights_fq" in params:
+        from hand3d_tpu.ops import quant
+
+        params = {"weights": quant.fake_quant_weights(params["weights_fq"]),
+                  "biases": params["biases"]}
+        x = quant.fake_quant_act(x)
     w, b = params["weights"], params["biases"]
     if compute_dtype is not None:
         x, w = x.astype(compute_dtype), w.astype(compute_dtype)
@@ -58,6 +66,11 @@ def conv2d_transpose(x, params, stride=2, compute_dtype=None):
         from hand3d_tpu.ops import quant
 
         params = {"weights": quant.dequantize_weights(params),
+                  "biases": params["biases"]}
+    elif "weights_fq" in params:
+        from hand3d_tpu.ops import quant
+
+        params = {"weights": quant.fake_quant_weights(params["weights_fq"]),
                   "biases": params["biases"]}
     w, b = params["weights"], params["biases"]
     if compute_dtype is not None:
@@ -108,6 +121,12 @@ def dense(x, params, compute_dtype=None):
         from hand3d_tpu.ops import quant
 
         return quant.dense_int8(x, params)
+    if "weights_fq" in params:
+        from hand3d_tpu.ops import quant
+
+        params = {"weights": quant.fake_quant_weights(params["weights_fq"]),
+                  "biases": params["biases"]}
+        x = quant.fake_quant_act(x)
     w, b = params["weights"], params["biases"]
     if compute_dtype is not None:
         x, w = x.astype(compute_dtype), w.astype(compute_dtype)

@@ -99,6 +99,59 @@ def dequantize_weights(params):
     return params["weights_q"].astype(jnp.float32) * params["weight_scale"]
 
 
+def _ste(x, quantized):
+    """Straight-through estimator: forward = quantized, gradient = identity."""
+    return x + jax.lax.stop_gradient(quantized - x)
+
+
+def fake_quant_weights(w):
+    """QDQ view of a kernel: forward equals dequantize(quantize(w)) with the
+    same per-output-channel scales as quantize_weights_int8; gradients pass
+    straight through (scales are stop-gradiented, standard QAT practice)."""
+    axes = tuple(range(w.ndim - 1))
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=axes), _EPS) / _QMAX
+    scale = jax.lax.stop_gradient(scale)
+    q = jnp.clip(jnp.round(w / scale), -_QMAX, _QMAX) * scale
+    return _ste(w, q)
+
+
+def fake_quant_act(x):
+    """QDQ view of activations with the same dynamic per-sample scales as
+    quantize_act_int8 — the training-time twin of the inference path."""
+    axes = tuple(range(1, x.ndim))
+    scale = jnp.maximum(jnp.max(jnp.abs(x), axis=axes, keepdims=True), _EPS)
+    scale = jax.lax.stop_gradient(scale / _QMAX)
+    q = jnp.clip(jnp.round(x / scale), -_QMAX, _QMAX) * scale
+    return _ste(x, q)
+
+
+def qat_view(params, min_in_chan=128):
+    """Quantization-aware-training view of a param tree.
+
+    Renames each eligible layer's "weights" to "weights_fq" (arrays are
+    shared, so gradients flow to the original leaves) — ops.nn.conv2d /
+    dense dispatch on that key and apply fake_quant_weights +
+    fake_quant_act before a float conv/matmul. Because the int8 kernel is
+    linear, conv(QDQ(x), QDQ(w)) == dequant(conv(quant(x), quant(w))) up
+    to accumulation dtype, so training sees EXACTLY the deployed int8
+    numerics. Same ``min_in_chan`` selectivity as quantize_params_int8.
+
+    Usage (wrap the loss; params/optimizer stay float):
+        loss_qat = lambda p, batch, key: loss_fn(qat_view(p), batch, key)
+    After training, quantize_params_int8(params) produces the deployment
+    tree with the scales the weights were trained under.
+    """
+    if isinstance(params, dict):
+        if "weights" in params and "biases" in params:
+            w = params["weights"]
+            in_chan = w.shape[-2] if w.ndim == 4 else w.shape[0]
+            if in_chan < min_in_chan:
+                return params
+            return {"weights_fq": w, "biases": params["biases"]}
+        return {k: qat_view(v, min_in_chan) for k, v in params.items()}
+    return params
+
+
 def _native_int8():
     """True where int8 matmuls/convs have a fast path (the TPU MXU).
 

@@ -124,6 +124,62 @@ def test_cascade_int8_close_to_fp32(rng):
     assert rel_l2(got.hand_scoremap, ref.hand_scoremap) < 0.15
 
 
+def test_qat_forward_matches_ptq(rng):
+    """The QAT fake-quant view must see EXACTLY the deployed int8 numerics:
+    conv(QDQ(x), QDQ(w)) == dequant(conv(quant(x), quant(w))) (linearity)."""
+    from hand3d_tpu.ops.quant import qat_view
+
+    params = nn.conv_init(KEY, 3, 3, 32, 64)
+    x = jnp.asarray(rng.randn(2, 12, 14, 32).astype(np.float32))
+    out_qat = nn.conv2d(x, qat_view(params, min_in_chan=0))
+    out_ptq = nn.conv2d(x, quantize_params_int8(params, min_in_chan=0))
+    np.testing.assert_allclose(
+        np.asarray(out_qat), np.asarray(out_ptq), atol=2e-4
+    )
+
+
+def test_qat_straight_through_gradients(rng):
+    """Gradients flow through the QDQ (STE): close to the float gradient,
+    not zero (round/clip alone would have zero gradient a.e.)."""
+    from hand3d_tpu.ops.quant import qat_view
+
+    params = {"layer": nn.dense_init(KEY, 64, 32)}
+    x = jnp.asarray(rng.randn(4, 64).astype(np.float32))
+
+    def loss_float(p):
+        return jnp.mean(nn.dense(x, p["layer"]) ** 2)
+
+    def loss_qat(p):
+        return jnp.mean(nn.dense(x, qat_view(p, min_in_chan=0)["layer"]) ** 2)
+
+    g_f = jax.grad(loss_float)(params)["layer"]["weights"]
+    g_q = jax.grad(loss_qat)(params)["layer"]["weights"]
+    assert np.abs(np.asarray(g_q)).max() > 0
+    # STE gradient tracks the float gradient to within quantization noise
+    assert rel_l2(g_q, g_f) < 0.1
+
+
+def test_qat_training_reduces_loss(rng):
+    import optax
+    from hand3d_tpu.ops.quant import qat_view
+
+    params = {"layer": nn.dense_init(KEY, 128, 16)}
+    x = jnp.asarray(rng.randn(8, 128).astype(np.float32))
+    y = jnp.asarray(rng.randn(8, 16).astype(np.float32))
+
+    def loss(p):
+        return jnp.mean((nn.dense(x, qat_view(p)["layer"]) - y) ** 2)
+
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+    l0 = float(loss(params))
+    for _ in range(20):
+        g = jax.grad(loss)(params)
+        updates, state = opt.update(g, state, params)
+        params = optax.apply_updates(params, updates)
+    assert float(loss(params)) < l0
+
+
 def test_serving_estimator_int8(rng):
     from hand3d_tpu.models.cascade import ColorHandPose3D
     from hand3d_tpu.serving import HandPoseEstimator
