@@ -47,13 +47,21 @@ def hsv_to_rgb(hsv):
 
 
 def random_hue(key, image, max_delta):
-    """Shift hue by U(-max_delta, max_delta), like tf.image.random_hue.
+    """Shift hue by U(-max_delta, max_delta) PER SAMPLE, like the
+    reference's per-sample graph (tf.image.random_hue runs before batching,
+    BinaryDbReader.py:184, so every sample draws its own delta).
 
-    ``image`` is mean-subtracted ([-0.5, 0.5]); shift happens in [0, 1]
-    space, matching where the reference applies it (BinaryDbReader.py:182-184,
-    after the /255 - 0.5 normalization TF random_hue clips internally).
+    ``image`` is [B, H, W, 3] mean-subtracted ([-0.5, 0.5]); the rotation
+    happens in [0, 1] space. Intentional difference (PARITY.md): the
+    reference feeds mean-subtracted values straight into TF's HSV
+    round-trip, outside that op's [0, 1] contract and degenerate for
+    negative channels; rotating in [0, 1] is the well-defined version of
+    the same augmentation.
     """
-    delta = jax.random.uniform(key, (), minval=-max_delta, maxval=max_delta)
+    b = image.shape[0]
+    delta = jax.random.uniform(
+        key, (b, 1, 1), minval=-max_delta, maxval=max_delta
+    )
     rgb = jnp.clip(image + 0.5, 0.0, 1.0)
     hsv = rgb_to_hsv(rgb)
     hsv = hsv.at[..., 0].set((hsv[..., 0] + delta) % 1.0)

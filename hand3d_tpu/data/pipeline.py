@@ -29,7 +29,9 @@ def epoch_indices(num_samples, batch_size, shuffle, seed, drop_remainder=True):
         idx = idx[:n]
     else:
         pad = (-len(idx)) % batch_size
-        idx = np.concatenate([idx, idx[:pad]])
+        # np.resize tiles idx cyclically, so this also covers
+        # batch_size > 2 * num_samples (idx[:pad] would come up short)
+        idx = np.concatenate([idx, np.resize(idx, pad)]) if pad else idx
     return idx.reshape(-1, batch_size)
 
 
@@ -85,7 +87,10 @@ class InputPipeline:
     def iterate(self, epochs=None, start_epoch=0):
         """Yield feature dicts; ``epochs=None`` iterates forever."""
         self.steps_per_epoch()  # validate batch size vs dataset up front
-        if self.use_native:
+        if self.use_native and start_epoch == 0:
+            # the native streamer owns its shuffle state and cannot resume
+            # from a later epoch's order/keys; resumed iteration falls back
+            # to the threaded path, which honors start_epoch exactly
             native_it = self._iterate_native(epochs)
             if native_it is not None:
                 yield from native_it

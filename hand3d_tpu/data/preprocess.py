@@ -74,6 +74,18 @@ def _xyz_representations(kp_xyz21, flip_cond=None):
     }
 
 
+
+def _uv_to_crop(uv, center, scale, crop_size):
+    """Map full-frame (u, v) into the crop frame (BinaryDbReader.py:319-323).
+
+    One definition for both the GT-crop path and STB's re-map with the
+    effective (noise-shifted) center — they must stay consistent.
+    """
+    half = crop_size // 2
+    u = (uv[:, :, 0] - center[:, None, 1]) * scale[:, None] + half
+    v = (uv[:, :, 1] - center[:, None, 0]) * scale[:, None] + half
+    return jnp.stack([u, v], axis=-1)
+
 def _hand_crop_features(cfg, keys, image, uv21, vis21, cam_mat, image_size):
     """Ground-truth hand crop + updated uv/intrinsics.
 
@@ -126,10 +138,8 @@ def _hand_crop_features(cfg, keys, image, uv21, vis21, cam_mat, image_size):
     image_crop = crop_image_from_xy(image, crop_center, crop_size, scale)
 
     # uv into the crop frame (BinaryDbReader.py:319-323)
+    uv21_crop = _uv_to_crop(uv21, crop_center, scale, crop_size)
     half = crop_size // 2
-    u = (uv21[:, :, 0] - crop_center[:, None, 1]) * scale[:, None] + half
-    v = (uv21[:, :, 1] - crop_center[:, None, 0]) * scale[:, None] + half
-    uv21_crop = jnp.stack([u, v], axis=-1)
 
     # intrinsics: K' = T(-center*scale + half) @ S(scale) @ K (:325-346)
     zeros = jnp.zeros((b,), jnp.float32)
@@ -376,11 +386,10 @@ def preprocess_stb(cfg, raw, key=None):
         )
         # uv mapped into the crop uses the original uv21 but the effective
         # (noise-shifted) crop center and scale (:266-271)
-        half = cfg.crop_size // 2
         center = crop.pop("_crop_center")
-        u = (uv21[:, :, 0] - center[:, None, 1]) * crop["crop_scale"][:, None] + half
-        v = (uv21[:, :, 1] - center[:, None, 0]) * crop["crop_scale"][:, None] + half
-        crop["keypoint_uv21"] = jnp.stack([u, v], axis=-1)
+        crop["keypoint_uv21"] = _uv_to_crop(
+            uv21, center, crop["crop_scale"], cfg.crop_size
+        )
         data.update(crop)
         scoremap_size = (cfg.crop_size, cfg.crop_size)
     else:

@@ -21,11 +21,16 @@ class RHDDataset:
         self.path = path or DEFAULT_PATHS[mode]
         self.records = FixedLenRecordFile(self.path, RHD_RECORD_DTYPE)
         self.num_samples = len(self.records)
-        expected = NUM_SAMPLES[mode]
-        if self.num_samples != expected:
-            # custom/synthetic .bin files are allowed (tests, subsets); the
-            # official files must match the reference counts
-            pass
+        if path is None and self.num_samples != NUM_SAMPLES[mode]:
+            # custom .bin files (tests, subsets) pass an explicit path; the
+            # default official files must match the reference counts —
+            # a truncated download or a wrong-mode file silently shifts
+            # every benchmark number otherwise
+            raise ValueError(
+                f"{self.path} has {self.num_samples} records, expected "
+                f"{NUM_SAMPLES[mode]} for RHD {mode} "
+                "(BinaryDbReader.py:59-64); truncated or wrong-mode file?"
+            )
 
     def __len__(self):
         return self.num_samples

@@ -19,6 +19,13 @@ class STBDataset:
         self.path = path or DEFAULT_PATHS[mode]
         self.records = FixedLenRecordFile(self.path, STB_RECORD_DTYPE)
         self.num_samples = len(self.records)
+        if path is None and self.num_samples != NUM_SAMPLES[mode]:
+            # same guard as RHDDataset: the default official file must have
+            # the reference count (BinaryDbReaderSTB.py:60-61)
+            raise ValueError(
+                f"{self.path} has {self.num_samples} records, expected "
+                f"{NUM_SAMPLES[mode]} for STB {mode}; truncated file?"
+            )
 
     def __len__(self):
         return self.num_samples

@@ -11,6 +11,9 @@ over keypoints that received at least one visible sample.
 
 import numpy as np
 
+# np.trapezoid is numpy>=2; np.trapz is its (deprecated) numpy-1.x name
+_trapezoid = getattr(np, "trapezoid", None) or np.trapz
+
 
 class EvalUtil:
     def __init__(self, num_kp=21):
@@ -47,7 +50,7 @@ class EvalUtil:
     def get_measures(self, val_min, val_max, steps):
         """Returns (mean_epe, median_epe, auc, pck_curve, thresholds)."""
         thresholds = np.linspace(val_min, val_max, steps)
-        norm = np.trapezoid(np.ones_like(thresholds), thresholds)
+        norm = _trapezoid(np.ones_like(thresholds), thresholds)
 
         means, medians, aucs, curves = [], [], [], []
         for k in range(self.num_kp):
@@ -58,7 +61,7 @@ class EvalUtil:
             medians.append(np.median(data))
             pck = np.stack([np.mean(data <= t) for t in thresholds])
             curves.append(pck)
-            aucs.append(np.trapezoid(pck, thresholds) / norm)
+            aucs.append(_trapezoid(pck, thresholds) / norm)
 
         return (
             float(np.mean(means)),
@@ -71,7 +74,7 @@ class EvalUtil:
 
 def calc_auc(x, y):
     """Normalized area under curve (utils/general.py:654-659)."""
-    return float(np.trapezoid(y, x) / np.trapezoid(np.ones_like(y), x))
+    return float(_trapezoid(y, x) / _trapezoid(np.ones_like(y), x))
 
 
 def get_stb_ref_curves():

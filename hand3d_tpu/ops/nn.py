@@ -61,7 +61,16 @@ def conv2d_relu(x, params, stride=1, compute_dtype=None):
 
 
 def conv2d_transpose(x, params, stride=2, compute_dtype=None):
-    """SAME-padded transposed conv + bias (general.py:67-84, ``upconv``)."""
+    """SAME-padded transposed conv + bias (general.py:67-84, ``upconv``).
+
+    True tf.nn.conv2d_transpose semantics — the gradient of conv2d wrt its
+    input — with the reference's filter layout [kh, kw, out_chan, in_chan]
+    (get_deconv_filter, general.py:92-110): ``transpose_kernel=True`` makes
+    lax.conv_transpose interpret the kernel exactly that way (flipped
+    spatial taps + swapped channel dims). Verified against
+    torch.nn.functional.conv_transpose2d on asymmetric kernels; the
+    bilinear init is symmetric and diagonal, so it is unaffected.
+    """
     if "weights_q" in params:
         from hand3d_tpu.ops import quant
 
@@ -77,7 +86,7 @@ def conv2d_transpose(x, params, stride=2, compute_dtype=None):
         x, w = x.astype(compute_dtype), w.astype(compute_dtype)
     y = jax.lax.conv_transpose(
         x, w, (stride, stride), "SAME", dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
+        transpose_kernel=True, preferred_element_type=jnp.float32,
     )
     return y + b.astype(y.dtype)
 
@@ -197,7 +206,9 @@ def bilinear_upconv_init(size, channels, dtype=jnp.float32):
     """Fixed bilinear-interpolation kernel for transposed convs.
 
     Mirrors NetworkOps.get_deconv_filter (general.py:92-110): identical
-    per-channel bilinear tap pattern, zero cross-channel terms, zero biases.
+    per-channel bilinear tap pattern, zero cross-channel terms, zero
+    biases. Layout [kh, kw, out_chan, in_chan] like the reference's deconv
+    filters (diagonal + symmetric, so layout/flip have no effect here).
     """
     f = math.ceil(size / 2.0)
     c = (2 * f - 1 - f % 2) / (2.0 * f)

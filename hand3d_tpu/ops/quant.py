@@ -35,10 +35,16 @@ _QMAX = 127.0
 _EPS = 1e-12  # guards all-zero tensors; scale of a zero tensor is irrelevant
 
 
+def _weight_scale(w):
+    """Per-output-channel symmetric scale — the ONE definition shared by
+    deployment quantization and the QAT fake-quant view (they must agree)."""
+    axes = tuple(range(w.ndim - 1))
+    return jnp.maximum(jnp.max(jnp.abs(w), axis=axes), _EPS) / _QMAX
+
+
 def quantize_weights_int8(w):
     """[..., oc] float kernel -> (int8 kernel, [oc] float32 scale)."""
-    axes = tuple(range(w.ndim - 1))
-    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=axes), _EPS) / _QMAX
+    scale = _weight_scale(w)
     w_q = jnp.clip(jnp.round(w / scale), -_QMAX, _QMAX).astype(jnp.int8)
     return w_q, scale.astype(jnp.float32)
 
@@ -108,9 +114,7 @@ def fake_quant_weights(w):
     """QDQ view of a kernel: forward equals dequantize(quantize(w)) with the
     same per-output-channel scales as quantize_weights_int8; gradients pass
     straight through (scales are stop-gradiented, standard QAT practice)."""
-    axes = tuple(range(w.ndim - 1))
-    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=axes), _EPS) / _QMAX
-    scale = jax.lax.stop_gradient(scale)
+    scale = jax.lax.stop_gradient(_weight_scale(w))
     q = jnp.clip(jnp.round(w / scale), -_QMAX, _QMAX) * scale
     return _ste(w, q)
 

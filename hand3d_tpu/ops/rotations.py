@@ -14,13 +14,12 @@ All constructors take an angle of shape [B] and return [B, 3, 3] (or
 import jax.numpy as jnp
 
 
-def _stack33(rows):
-    """rows: 3 lists of 3 [B] arrays -> [B, 3, 3]."""
+def _stack_rows(rows):
+    """rows: N lists of N [B] arrays -> [B, N, N]."""
     return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
 
 
-def _stack44(rows):
-    return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+_stack33 = _stack44 = _stack_rows
 
 
 def rot_mat_x(angle):

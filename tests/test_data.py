@@ -269,3 +269,31 @@ def test_projection_consistency_survives_crop(rhd_left):
     np.testing.assert_allclose(
         np.asarray(d["keypoint_uv21"]), proj, atol=1.2 * float(scale.max()) + 0.5
     )
+
+
+def test_random_hue_per_sample_deltas_and_inverse():
+    """Each sample must draw its own hue delta (reference applies
+    tf.image.random_hue per sample, before batching); rotation must be a
+    bijection on hue (rotate by d then -d is identity isn't testable with
+    random deltas, so check: same image twice in a batch gets two
+    different hues, and zero max_delta is the identity)."""
+    import jax
+    from hand3d_tpu.data import augment
+
+    rng = np.random.RandomState(3)
+    one = rng.rand(8, 10, 3).astype(np.float32) - 0.5
+    batch = jnp.asarray(np.stack([one, one]))
+    out = np.asarray(augment.random_hue(jax.random.PRNGKey(0), batch, 0.4))
+    assert np.abs(out[0] - out[1]).max() > 1e-3  # per-sample deltas
+    same = np.asarray(augment.random_hue(jax.random.PRNGKey(0), batch, 0.0))
+    np.testing.assert_allclose(same, np.asarray(batch), atol=1e-5)
+
+
+def test_epoch_indices_pad_small_dataset():
+    """drop_remainder=False must pad cyclically even when batch_size is
+    much larger than the dataset."""
+    from hand3d_tpu.data.pipeline import epoch_indices
+
+    batches = epoch_indices(3, 8, shuffle=False, seed=0, drop_remainder=False)
+    assert batches.shape == (1, 8)
+    assert set(batches[0]) == {0, 1, 2}

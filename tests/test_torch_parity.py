@@ -147,3 +147,34 @@ def test_poseprior_matches_torch(rng):
         out = t_dense(flat, params["fc_xyz"]).numpy().reshape(2, 21, 3)
 
     np.testing.assert_allclose(ours, out, atol=2e-4)
+
+
+def test_conv2d_transpose_matches_torch_asymmetric_kernel(rng):
+    """tf.nn.conv2d_transpose semantics (gradient-of-conv, filter layout
+    [kh, kw, out, in], general.py:77-78) on a spatially-asymmetric,
+    non-diagonal kernel — the bilinear init is symmetric and would hide a
+    kernel-flip/layout bug."""
+    import jax.numpy as jnp
+    from hand3d_tpu.ops import nn
+
+    kh = kw = 4
+    cin, cout, stride = 3, 5, 2
+    w_tf = rng.randn(kh, kw, cout, cin).astype(np.float32)  # TF deconv layout
+    b = rng.randn(cout).astype(np.float32)
+    x = rng.randn(2, 6, 7, cin).astype(np.float32)
+
+    got = np.asarray(
+        nn.conv2d_transpose(
+            jnp.asarray(x), {"weights": jnp.asarray(w_tf), "biases": jnp.asarray(b)},
+            stride=stride,
+        )
+    )
+
+    # torch conv_transpose2d: weight [in, out, kh, kw]; TF SAME with
+    # stride=2, k=4 equals torch padding=1 (out = H*stride)
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    wt = torch.from_numpy(np.transpose(w_tf, (3, 2, 0, 1)))
+    ref = F.conv_transpose2d(xt, wt, torch.from_numpy(b), stride=stride, padding=1)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    assert got.shape == ref.shape == (2, 12, 14, cout)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
