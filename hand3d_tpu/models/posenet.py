@@ -60,11 +60,13 @@ def init(key, dtype=None):
     return params
 
 
-def apply(params, image_crop, compute_dtype=None, constrain=None):
-    """image_crop [B, H, W, 3] -> list of three [B, H/8, W/8, 21] scoremaps.
+def apply_trunk(params, image_crop, compute_dtype=None, constrain=None):
+    """Encoder + initial 1x1 head: image [B, H, W, 3] -> (encoding, scoremap).
 
-    ``constrain``: optional activation-sharding hook (spatial partitioning;
-    see parallel.mesh.spatial_constrainer), applied through the encoder.
+    The heterogeneous prologue of the network (everything before the two
+    structurally-identical refinement units) — factored out so the pipeline
+    parallel layer (parallel/pipeline.py) can run it batch-sharded while the
+    refinement units flow through a GPipe schedule.
     """
     x = image_crop
     for layer in _ENCODER:
@@ -78,14 +80,44 @@ def apply(params, image_crop, compute_dtype=None, constrain=None):
     encoding = x
 
     x = nn.conv2d_relu(encoding, params["conv5_1"], compute_dtype=compute_dtype)
-    scoremaps = [nn.conv2d(x, params["conv5_2"], compute_dtype=compute_dtype)]
+    scoremap = nn.conv2d(x, params["conv5_2"], compute_dtype=compute_dtype)
+    return encoding, scoremap
 
+
+def apply_refinement_unit(layer_params, scoremap, encoding, compute_dtype=None):
+    """One refinement unit: concat(scoremap, encoding) -> new scoremap.
+
+    ``layer_params``: the unit's 7 conv layer dicts IN ORDER (a list, or any
+    iterable of {"weights", "biases"}); the caller owns the naming scheme so
+    both the reference layout (conv6_*/conv7_* in the flat param dict) and
+    the stage-stacked pipeline layout can share this code.
+    """
+    x = jnp.concatenate([scoremap, encoding], axis=-1)
+    layer_params = list(layer_params)
+    for i, p in enumerate(layer_params):
+        x = nn.conv2d(x, p, compute_dtype=compute_dtype)
+        if i < len(layer_params) - 1:
+            x = nn.leaky_relu(x)
+    return x
+
+
+def apply(params, image_crop, compute_dtype=None, constrain=None):
+    """image_crop [B, H, W, 3] -> list of three [B, H/8, W/8, 21] scoremaps.
+
+    ``constrain``: optional activation-sharding hook (spatial partitioning;
+    see parallel.mesh.spatial_constrainer), applied through the encoder.
+    """
+    encoding, scoremap = apply_trunk(
+        params, image_crop, compute_dtype=compute_dtype, constrain=constrain
+    )
+    scoremaps = [scoremap]
     for unit in range(NUM_REFINEMENT_UNITS):
-        x = jnp.concatenate([scoremaps[-1], encoding], axis=-1)
-        for name, _, _, relu in _refinement_layers(unit):
-            x = nn.conv2d(x, params[name], compute_dtype=compute_dtype)
-            if relu:
-                x = nn.leaky_relu(x)
-        scoremaps.append(x)
-
+        unit_params = [
+            params[name] for name, _, _, _ in _refinement_layers(unit)
+        ]
+        scoremaps.append(
+            apply_refinement_unit(
+                unit_params, scoremaps[-1], encoding, compute_dtype=compute_dtype
+            )
+        )
     return scoremaps

@@ -87,3 +87,75 @@ def test_multislice_grad_matches_single_device():
     # TP actually sharded the 128-wide output channel over "model"
     spec = param_sharding(mesh, params)["fc"]["weights"].spec
     assert spec == P(None, "model")
+
+
+class TestPipelineParallel:
+    """GPipe PP over PoseNet's refinement units (parallel/pipeline.py)."""
+
+    def _data(self, batch=16):
+        from hand3d_tpu.models import posenet
+
+        params = posenet.init(jax.random.PRNGKey(0))
+        img = jax.random.normal(jax.random.PRNGKey(1), (batch, 32, 32, 3)) * 0.1
+        gt = jax.random.uniform(jax.random.PRNGKey(2), (batch, 32, 32, 21))
+        vis = (jax.random.uniform(jax.random.PRNGKey(3), (batch, 21)) > 0.3)
+        return params, img, gt, vis.astype(jnp.float32)
+
+    def test_stack_roundtrip(self):
+        from hand3d_tpu.parallel import pipeline as pp
+
+        params, _, _, _ = self._data()
+        trunk, stacked = pp.stack_refinement_params(params)
+        assert stacked["conv_1"]["weights"].shape[0] == pp.N_STAGES
+        rebuilt = pp.unstack_refinement_params(trunk, stacked)
+        assert set(rebuilt) == set(params)
+        for k in params:
+            np.testing.assert_array_equal(
+                np.asarray(rebuilt[k]["weights"]), np.asarray(params[k]["weights"])
+            )
+
+    def test_loss_and_grads_match_sequential(self):
+        """The GPipe schedule is mathematically identical to sequential
+        execution: loss AND gradients equal the plain deep-supervision loss."""
+        from hand3d_tpu.models import posenet
+        from hand3d_tpu.parallel import pipeline as pp
+        from hand3d_tpu.train.losses import posenet_scoremap_loss
+
+        params, img, gt, vis = self._data()
+        mesh = pp.make_pipeline_mesh(4, 2)
+        trunk, stacked = pp.stack_refinement_params(params)
+        # shard for real: stage-stacked params live on their stage's devices
+        stacked = jax.device_put(stacked, pp.refine_param_sharding(mesh, stacked))
+        loss_fn = pp.posenet_pipeline_loss(mesh, n_micro=2)
+
+        ref = posenet_scoremap_loss(posenet.apply(params, img), gt, vis)
+        got = jax.jit(loss_fn)(trunk, stacked, img, gt, vis)
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+        g_ref = jax.grad(
+            lambda p: posenet_scoremap_loss(posenet.apply(p, img), gt, vis)
+        )(params)
+        g_tr, g_st = jax.jit(
+            jax.grad(lambda t, s: loss_fn(t, s, img, gt, vis), argnums=(0, 1))
+        )(trunk, stacked)
+        g_pp = pp.unstack_refinement_params(g_tr, g_st)
+        for name in ("conv1_1", "conv4_7", "conv5_2", "conv6_1", "conv6_7",
+                     "conv7_1", "conv7_7"):
+            a = np.asarray(g_ref[name]["weights"])
+            b = np.asarray(g_pp[name]["weights"])
+            np.testing.assert_allclose(b, a, atol=1e-4 * max(1.0, np.abs(a).max()))
+
+    def test_microbatch_counts_agree(self):
+        """Different microbatch counts give the same loss (schedule-invariant)."""
+        from hand3d_tpu.parallel import pipeline as pp
+
+        params, img, gt, vis = self._data()
+        mesh = pp.make_pipeline_mesh(4, 2)
+        trunk, stacked = pp.stack_refinement_params(params)
+        l1 = jax.jit(pp.posenet_pipeline_loss(mesh, n_micro=1))(
+            trunk, stacked, img, gt, vis
+        )
+        l2 = jax.jit(pp.posenet_pipeline_loss(mesh, n_micro=2))(
+            trunk, stacked, img, gt, vis
+        )
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
