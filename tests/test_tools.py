@@ -143,3 +143,20 @@ def test_inspect_db_writes_figure(tmp_path, monkeypatch):
         monkeypatch,
     )
     assert os.path.exists(out)
+
+
+def test_bench_input_smoke(tmp_path):
+    """Input-pipeline benchmark runs and reports headroom over train demand."""
+    import json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "bench_input.py"),
+         "--records", "16", "--batch", "4"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    out = json.loads(proc.stdout.splitlines()[-1])
+    assert out["memmap_rec_s"] > 0
+    assert "memmap_headroom_x" in out
