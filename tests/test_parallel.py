@@ -159,3 +159,53 @@ class TestPipelineParallel:
             trunk, stacked, img, gt, vis
         )
         np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+
+
+class TestExpertParallel:
+    """Switch-style EP MoE dense layer (parallel/expert.py)."""
+
+    def _setup(self, cf=4.0):
+        from hand3d_tpu.parallel import expert as ep
+
+        params = ep.moe_dense_init(jax.random.PRNGKey(0), 4, 64, 32)
+        x = jax.random.normal(jax.random.PRNGKey(1), (64, 64))
+        mesh = ep.make_expert_mesh(2, 4)
+        p_sh = jax.device_put(params, ep.expert_param_sharding(mesh, params))
+        return ep, params, p_sh, x, mesh, cf
+
+    def test_matches_single_device_reference(self):
+        """With ample capacity (no drops) the expert-parallel layer equals
+        the unsharded reference exactly."""
+        ep, params, p_sh, x, mesh, cf = self._setup()
+        ref_out, _ = ep.moe_dense_reference(params, x, capacity_factor=cf)
+        out, aux = jax.jit(
+            lambda p, x: ep.moe_dense_apply(mesh, p, x, capacity_factor=cf)
+        )(p_sh, x)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref_out), atol=1e-5
+        )
+        assert np.isfinite(float(aux)) and float(aux) > 0
+
+    def test_capacity_drops_zero_output(self):
+        """Tokens beyond expert capacity produce exactly zero output rows
+        (bounded-shape drop semantics), never garbage."""
+        ep, params, _, x, _, _ = self._setup()
+        # tiny capacity: many drops
+        out, _ = ep.moe_dense_reference(params, x, capacity_factor=0.1)
+        out = np.asarray(out)
+        row_norm = np.abs(out).sum(axis=1)
+        assert (row_norm == 0).sum() > 0  # some dropped
+        assert (row_norm > 0).sum() > 0  # some processed
+
+    def test_grads_flow_to_gate_and_experts(self):
+        ep, params, p_sh, x, mesh, cf = self._setup()
+
+        def loss(p):
+            o, a = ep.moe_dense_apply(mesh, p, x, capacity_factor=cf)
+            return jnp.mean(o**2) + 0.01 * a
+
+        g = jax.jit(jax.grad(loss))(p_sh)
+        assert np.abs(np.asarray(g["gate"]["weights"])).max() > 0
+        assert np.abs(np.asarray(g["experts"]["weights"])).max() > 0
+        # expert weights stay sharded over "expert" through the grad
+        assert "expert" in str(g["experts"]["weights"].sharding.spec)
