@@ -47,7 +47,7 @@ def _chained(net, n):
 
 
 def bench_cascade(batch=32, chain=16, trials=3, compute_dtype=None,
-                  seg_scale=1.0, quantize=None):
+                  seg_scale=1.0, quantize=None, phase_pack=False):
     from hand3d_tpu.models.cascade import ColorHandPose3D
 
     net = ColorHandPose3D(compute_dtype=compute_dtype, seg_scale=seg_scale)
@@ -57,6 +57,10 @@ def bench_cascade(batch=32, chain=16, trials=3, compute_dtype=None,
 
         min_ch = int(os.environ.get("HAND3D_BENCH_QUANT_MINCH", "128"))
         params = quantize_params_int8(params, min_in_chan=min_ch)
+    if phase_pack:
+        from hand3d_tpu.ops.phasepack import phase_pack_params
+
+        params = phase_pack_params(params)
     image = jax.device_put(
         jax.random.uniform(jax.random.PRNGKey(1), (batch, 240, 320, 3)) - 0.5
     )
@@ -105,8 +109,11 @@ def _child(batch):
         f"HAND3D_BENCH_QUANT={quantize!r} — only 'int8' is supported; "
         "refusing to silently benchmark fp32"
     )
+    # HAND3D_BENCH_PHASEPACK=1 packs the 64-channel conv1 blocks (same MACs,
+    # full MXU lanes; float-reassociation-level numeric delta only).
+    phase_pack = os.environ.get("HAND3D_BENCH_PHASEPACK", "0") == "1"
     _emit(bench_cascade(batch=batch, compute_dtype=dtype, seg_scale=seg_scale,
-                        quantize=quantize))
+                        quantize=quantize, phase_pack=phase_pack))
 
 
 def main():

@@ -91,13 +91,26 @@ def add_quantize_arg(parser):
         help="Post-training quantization of the conv/FC path (ops.quant); "
         "use to measure the quantized EPE delta against the fp32 numbers.",
     )
+    parser.add_argument(
+        "--phase-pack", action="store_true",
+        help="Pack conv1_2's horizontal output phases into the MXU's 128 "
+        "lanes with a fused conv+relu+pool (ops.phasepack; +10%% at batch 1 "
+        "/ +6%% at batch 32 in bf16, neutral at 128, slower in fp32; "
+        "float-reassociation-level numeric delta only).",
+    )
 
 
 def maybe_quantize(params, args):
+    """Apply the opt-in inference param-tree transforms (--quantize,
+    --phase-pack; composable — packing skips quantized layers)."""
     if getattr(args, "quantize", None) == "int8":
         from hand3d_tpu.ops.quant import quantize_params_int8
 
-        return quantize_params_int8(params)
+        params = quantize_params_int8(params)
+    if getattr(args, "phase_pack", False):
+        from hand3d_tpu.ops.phasepack import phase_pack_params
+
+        params = phase_pack_params(params)
     return params
 
 

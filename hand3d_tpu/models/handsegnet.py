@@ -51,14 +51,35 @@ def apply(params, image, compute_dtype=None, constrain=None):
     """
     _, h, w, _ = image.shape
     x = image
-    for layer in _LAYERS:
+    layers = list(_LAYERS)
+    i = 0
+    while i < len(layers):
+        layer = layers[i]
         if layer == "pool":
             x = nn.max_pool_2x2(x)
+            i += 1
             continue
         name, _, _, relu = layer
-        x = nn.conv2d(x, params[name], compute_dtype=compute_dtype)
+        p = params[name]
+        if (
+            "weights_p2" in p
+            and relu
+            and i + 1 < len(layers)
+            and layers[i + 1] == "pool"
+        ):
+            # phase-packed layer feeding a pool: fused conv+relu+pool keeps
+            # the packed layout off HBM entirely (ops.phasepack)
+            from hand3d_tpu.ops import phasepack
+
+            x = phasepack.conv_relu_pool_packed(x, p, compute_dtype)
+            if constrain is not None:
+                x = constrain(x)
+            i += 2
+            continue
+        x = nn.conv2d(x, p, compute_dtype=compute_dtype)
         if relu:
             x = nn.leaky_relu(x)
         if constrain is not None:
             x = constrain(x)
+        i += 1
     return [resize_bilinear(x, (h, w))]

@@ -69,14 +69,29 @@ def apply_trunk(params, image_crop, compute_dtype=None, constrain=None):
     refinement units flow through a GPipe schedule.
     """
     x = image_crop
-    for layer in _ENCODER:
+    layers = list(_ENCODER)
+    i = 0
+    while i < len(layers):
+        layer = layers[i]
         if layer == "pool":
             x = nn.max_pool_2x2(x)
+            i += 1
             continue
         name, _, _ = layer
-        x = nn.conv2d_relu(x, params[name], compute_dtype=compute_dtype)
+        p = params[name]
+        if "weights_p2" in p and i + 1 < len(layers) and layers[i + 1] == "pool":
+            # fused packed conv+relu+pool (ops.phasepack)
+            from hand3d_tpu.ops import phasepack
+
+            x = phasepack.conv_relu_pool_packed(x, p, compute_dtype)
+            if constrain is not None:
+                x = constrain(x)
+            i += 2
+            continue
+        x = nn.conv2d_relu(x, p, compute_dtype=compute_dtype)
         if constrain is not None:
             x = constrain(x)
+        i += 1
     encoding = x
 
     x = nn.conv2d_relu(encoding, params["conv5_1"], compute_dtype=compute_dtype)

@@ -40,6 +40,11 @@ def conv2d(x, params, stride=1, compute_dtype=None):
         from hand3d_tpu.ops import quant
 
         return quant.conv2d_int8(x, params, stride, dimension_numbers=_DN)
+    if "weights_p2" in params:
+        from hand3d_tpu.ops import phasepack
+
+        assert stride == 1, "phase-packed layers are stride-1 only"
+        return phasepack.conv2d_phase_packed(x, params, compute_dtype)
     if "weights_fq" in params:
         from hand3d_tpu.ops import quant
 

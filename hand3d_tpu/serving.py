@@ -22,7 +22,7 @@ from hand3d_tpu.weights import load_npz
 class HandPoseEstimator:
     def __init__(self, params, batch_size=16, input_hw=(240, 320),
                  compute_dtype=None, left_hand=True, seg_scale=1.0,
-                 mesh=None, quantize=None):
+                 mesh=None, quantize=None, phase_pack=False):
         """``mesh``: optional jax.sharding.Mesh (parallel.make_mesh) for
         multi-chip serving — the batch shards over the "data" axis and the
         params get the tensor-parallel layout for the mesh's "model" axis
@@ -31,12 +31,23 @@ class HandPoseEstimator:
 
         ``quantize``: None or "int8" — post-training int8 quantization of
         the conv/FC path (ops.quant; ~2x MXU rate on v5e). Composable with
-        seg_scale and mesh."""
+        seg_scale and mesh.
+
+        ``phase_pack``: pack conv1_2's two horizontal output phases into the
+        MXU's 128 lanes with a fused conv+relu+pool (ops.phasepack). Same
+        multiply-adds, float-reassociation-level numeric delta only. Wins
+        at small batch in bf16 (+10% at batch 1, +6% at batch 32, neutral
+        at 128; slower in fp32 — see docs/DESIGN.md). Composable with
+        everything above."""
         assert quantize in (None, "int8"), quantize
         if quantize == "int8":
             from hand3d_tpu.ops.quant import quantize_params_int8
 
             params = quantize_params_int8(params)
+        if phase_pack:
+            from hand3d_tpu.ops.phasepack import phase_pack_params
+
+            params = phase_pack_params(params)
         self.net = ColorHandPose3D(compute_dtype=compute_dtype,
                                    seg_scale=seg_scale)
         self.batch_size = batch_size
