@@ -82,7 +82,7 @@ def bench_cascade(batch=32, chain=16, trials=3, compute_dtype=None,
     return batch / per_batch
 
 
-def _emit(fps):
+def _emit(fps, batch):
     print(
         json.dumps(
             {
@@ -90,6 +90,9 @@ def _emit(fps):
                 "value": round(fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / 20.0, 3),
+                # measurement condition, so runs at different batch sizes
+                # (incl. the smaller-batch fallback attempts) stay comparable
+                "batch": batch,
             }
         ),
         flush=True,
@@ -113,7 +116,7 @@ def _child(batch):
     # full MXU lanes; float-reassociation-level numeric delta only).
     phase_pack = os.environ.get("HAND3D_BENCH_PHASEPACK", "0") == "1"
     _emit(bench_cascade(batch=batch, compute_dtype=dtype, seg_scale=seg_scale,
-                        quantize=quantize, phase_pack=phase_pack))
+                        quantize=quantize, phase_pack=phase_pack), batch)
 
 
 def main():

@@ -61,21 +61,21 @@ def apply(params, image, compute_dtype=None, constrain=None):
             continue
         name, _, _, relu = layer
         p = params[name]
-        if (
-            "weights_p2" in p
-            and relu
-            and i + 1 < len(layers)
-            and layers[i + 1] == "pool"
-        ):
+        if "weights_p2" in p:
             # phase-packed layer feeding a pool: fused conv+relu+pool keeps
             # the packed layout off HBM entirely (ops.phasepack)
             from hand3d_tpu.ops import phasepack
 
-            x = phasepack.conv_relu_pool_packed(x, p, compute_dtype)
-            if constrain is not None:
-                x = constrain(x)
-            i += 2
-            continue
+            next_is_pool = i + 1 < len(layers) and layers[i + 1] == "pool"
+            fused = phasepack.maybe_fused_conv_pool(
+                x, p, relu and next_is_pool, compute_dtype
+            )
+            if fused is not None:
+                x = fused
+                if constrain is not None:
+                    x = constrain(x)
+                i += 2
+                continue
         x = nn.conv2d(x, p, compute_dtype=compute_dtype)
         if relu:
             x = nn.leaky_relu(x)

@@ -79,15 +79,20 @@ def apply_trunk(params, image_crop, compute_dtype=None, constrain=None):
             continue
         name, _, _ = layer
         p = params[name]
-        if "weights_p2" in p and i + 1 < len(layers) and layers[i + 1] == "pool":
+        if "weights_p2" in p:
             # fused packed conv+relu+pool (ops.phasepack)
             from hand3d_tpu.ops import phasepack
 
-            x = phasepack.conv_relu_pool_packed(x, p, compute_dtype)
-            if constrain is not None:
-                x = constrain(x)
-            i += 2
-            continue
+            next_is_pool = i + 1 < len(layers) and layers[i + 1] == "pool"
+            fused = phasepack.maybe_fused_conv_pool(
+                x, p, next_is_pool, compute_dtype
+            )
+            if fused is not None:
+                x = fused
+                if constrain is not None:
+                    x = constrain(x)
+                i += 2
+                continue
         x = nn.conv2d_relu(x, p, compute_dtype=compute_dtype)
         if constrain is not None:
             x = constrain(x)

@@ -94,6 +94,17 @@ def conv_relu_pool_packed(x, params, compute_dtype=None):
     return _nn.leaky_relu(v)
 
 
+def maybe_fused_conv_pool(x, layer_params, next_is_pool, compute_dtype=None):
+    """The encoder-walk fusion rule, in one place for every model: if this
+    conv layer is phase-packed AND the next encoder entry is a 2x2 pool,
+    run the fused conv+relu+pool and return it (the caller must then skip
+    the pool entry); otherwise return None and the caller proceeds with the
+    plain conv2d path."""
+    if "weights_p2" in layer_params and next_is_pool:
+        return conv_relu_pool_packed(x, layer_params, compute_dtype)
+    return None
+
+
 def _default_packable(name):
     """conv1_2 of HandSegNet/PoseNet: the 64-channel full-resolution stride-1
     layer DESIGN.md measured as the MXU-utilization laggard, AND the only

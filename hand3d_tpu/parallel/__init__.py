@@ -9,6 +9,7 @@ from hand3d_tpu.parallel.mesh import (
 from hand3d_tpu.parallel.pipeline import (
     make_pipeline_mesh,
     posenet_pipeline_loss,
+    refine_param_sharding,
     stack_refinement_params,
     unstack_refinement_params,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "moe_dense_init",
     "param_sharding",
     "posenet_pipeline_loss",
+    "refine_param_sharding",
     "replicate",
     "shard_params",
     "stack_refinement_params",

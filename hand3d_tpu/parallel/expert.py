@@ -64,27 +64,33 @@ def moe_dense_init(key, n_experts, in_dim, out_dim):
 
 def _route(params, x, capacity):
     """Shared routing math: returns (dispatch [T, E, C], combine [T, E, C],
-    aux_loss). T = tokens, E = experts, C = per-expert capacity."""
+    aux_loss). T = tokens, E = experts, C = per-expert capacity.
+
+    Bookkeeping (gate softmax, slot cumsum) runs in float32 regardless of
+    the token dtype — a bf16 cumsum rounds integer counts above 256, which
+    would silently double-book capacity slots."""
     n_experts = params["gate"]["weights"].shape[-1]
-    logits = x @ params["gate"]["weights"] + params["gate"]["biases"]
-    probs = jax.nn.softmax(logits, axis=-1)  # [T, E]
+    w32 = params["gate"]["weights"].astype(jnp.float32)
+    b32 = params["gate"]["biases"].astype(jnp.float32)
+    logits = x.astype(jnp.float32) @ w32 + b32
+    probs = jax.nn.softmax(logits, axis=-1)  # [T, E] f32
     choice = jnp.argmax(probs, axis=-1)  # [T]
-    onehot = jax.nn.one_hot(choice, n_experts, dtype=x.dtype)  # [T, E]
+    onehot = jax.nn.one_hot(choice, n_experts, dtype=jnp.float32)  # [T, E]
     # position of each token within its expert's queue
     position = jnp.cumsum(onehot, axis=0) * onehot - 1.0  # [T, E], -1 if unrouted
     kept = (position >= 0) & (position < capacity)
     # slot index of the (single) chosen expert if kept, else 0 — harmless,
     # because dispatch is zeroed by the kept mask for dropped tokens
     pos = jnp.sum(jnp.where(kept, position, 0.0), axis=-1).astype(jnp.int32)
-    pos_onehot = jax.nn.one_hot(pos, capacity, dtype=x.dtype)  # [T, C]
-    dispatch = (onehot * kept.astype(x.dtype))[:, :, None] * pos_onehot[:, None, :]
+    pos_onehot = jax.nn.one_hot(pos, capacity, dtype=jnp.float32)  # [T, C]
+    dispatch = (onehot * kept.astype(jnp.float32))[:, :, None] * pos_onehot[:, None, :]
     gate_val = jnp.sum(probs * onehot, axis=-1)  # [T]
     combine = dispatch * gate_val[:, None, None]
     # Switch load-balancing loss: E * sum_e fraction_e * mean_prob_e
     fraction = jnp.mean(onehot, axis=0)
     mean_prob = jnp.mean(probs, axis=0)
     aux = n_experts * jnp.sum(fraction * mean_prob)
-    return dispatch, combine, aux
+    return dispatch.astype(x.dtype), combine.astype(x.dtype), aux
 
 
 def _expert_ffn(expert_params, xs):

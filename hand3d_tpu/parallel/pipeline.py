@@ -124,7 +124,9 @@ def posenet_pipeline_loss(mesh, n_micro, compute_dtype=None):
     -> scalar, equal to posenet_scoremap_loss(posenet.apply(...), ...) of
     train/losses.py (deep supervision over all three heads), but executed
     with the refinement units pipeline-parallel over the "stage" axis.
-    Differentiable; global batch must divide n_data * n_stage * n_micro.
+    Differentiable. Batch sizing: the global batch must be divisible by
+    n_data * n_stage (the prologue shards over both axes), and the resulting
+    per-data-row batch (global / n_data) by n_micro.
     """
     n_stage = mesh.shape[STAGE_AXIS]
     assert n_stage == N_STAGES, (

@@ -38,7 +38,9 @@ class HandPoseEstimator:
         multiply-adds, float-reassociation-level numeric delta only. Wins
         at small batch in bf16 (+10% at batch 1, +6% at batch 32, neutral
         at 128; slower in fp32 — see docs/DESIGN.md). Composable with
-        everything above."""
+        quantize/mesh/seg_scale, with one constraint: the packed conv needs
+        an even input width, so round(input width x seg_scale) must be even
+        (all stock resolutions are)."""
         assert quantize in (None, "int8"), quantize
         if quantize == "int8":
             from hand3d_tpu.ops.quant import quantize_params_int8

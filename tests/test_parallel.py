@@ -209,3 +209,21 @@ class TestExpertParallel:
         assert np.abs(np.asarray(g["experts"]["weights"])).max() > 0
         # expert weights stay sharded over "expert" through the grad
         assert "expert" in str(g["experts"]["weights"].sharding.spec)
+
+    def test_bf16_tokens_do_not_collide_capacity_slots(self):
+        """Routing bookkeeping must run in f32: a bf16 cumsum rounds counts
+        above 256, double-booking slots. Force 400 bf16 tokens onto one
+        expert and check every capacity slot holds at most one token."""
+        from hand3d_tpu.parallel import expert as ep
+
+        params = ep.moe_dense_init(jax.random.PRNGKey(0), 4, 16, 8)
+        # bias the gate so every token routes to expert 0
+        params["gate"]["biases"] = jnp.asarray([100.0, 0.0, 0.0, 0.0])
+        x = jax.random.normal(jax.random.PRNGKey(1), (400, 16)).astype(jnp.bfloat16)
+        capacity = int(np.ceil(400 * 1.25 / 4))
+        dispatch, _, _ = ep._route(params, x, capacity)
+        per_slot = np.asarray(jnp.sum(dispatch.astype(jnp.float32), axis=0))
+        assert per_slot.max() <= 1.0 + 1e-6
+        # all capacity slots of expert 0 filled, none elsewhere
+        assert per_slot[0].sum() == capacity
+        assert per_slot[1:].sum() == 0
