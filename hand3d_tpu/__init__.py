@@ -46,6 +46,10 @@ def __getattr__(name):
         from hand3d_tpu.ops.quant import quantize_params_int8
 
         return quantize_params_int8
+    if name == "phase_pack_params":
+        from hand3d_tpu.ops.phasepack import phase_pack_params
+
+        return phase_pack_params
     if name == "make_mesh":
         from hand3d_tpu.parallel import make_mesh
 

@@ -38,9 +38,10 @@ class HandPoseEstimator:
         multiply-adds, float-reassociation-level numeric delta only. Wins
         at small batch in bf16 (+10% at batch 1, +6% at batch 32, neutral
         at 128; slower in fp32 — see docs/DESIGN.md). Composable with
-        quantize/mesh/seg_scale, with one constraint: the packed conv needs
-        an even input width, so round(input width x seg_scale) must be even
-        (all stock resolutions are)."""
+        quantize/mesh, with two caveats: the packed conv needs an even
+        input width (round(input width x seg_scale) — all stock resolutions
+        are), and combining with seg_scale < 1 measured a batch-1 latency
+        REGRESSION (DESIGN.md) — pick one lever or the other."""
         assert quantize in (None, "int8"), quantize
         if quantize == "int8":
             from hand3d_tpu.ops.quant import quantize_params_int8

@@ -182,3 +182,25 @@ def test_cli_eval3d_quantized(rhd_bin, monkeypatch, capsys):
         monkeypatch,
     )
     assert "Average mean EPE" in capsys.readouterr().out
+
+
+def test_serving_estimator_phase_pack_matches_plain():
+    """phase_pack=True returns the same predictions (float-reassociation
+    tolerance) as the plain estimator."""
+    from hand3d_tpu.serving import HandPoseEstimator
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+
+    net = ColorHandPose3D()
+    params = net.init(jax.random.PRNGKey(0))
+    images = (np.random.RandomState(1).rand(2, 120, 160, 3) * 255).astype(
+        np.uint8
+    )
+    kw = dict(batch_size=2, input_hw=(120, 160))
+    plain = HandPoseEstimator(params, **kw).predict(images)
+    packed = HandPoseEstimator(params, phase_pack=True, **kw).predict(images)
+    np.testing.assert_allclose(
+        packed["keypoint_coord3d"], plain["keypoint_coord3d"], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        packed["keypoint_uv21"], plain["keypoint_uv21"], atol=0.51
+    )  # integer-pixel decode: at most off by rounding at exact ties
