@@ -54,4 +54,12 @@ def __getattr__(name):
         from hand3d_tpu.parallel import make_mesh
 
         return make_mesh
+    if name == "export_estimator":
+        from hand3d_tpu.export import export_estimator
+
+        return export_estimator
+    if name == "ExportedEstimator":
+        from hand3d_tpu.export import ExportedEstimator
+
+        return ExportedEstimator
     raise AttributeError(f"module 'hand3d_tpu' has no attribute {name!r}")

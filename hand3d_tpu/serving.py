@@ -19,6 +19,17 @@ from hand3d_tpu.models.cascade import ColorHandPose3D
 from hand3d_tpu.weights import load_npz
 
 
+def normalize_images(images):
+    """[N,H,W,3] uint8 in [0,255] / float in [0,1] / mean-subtracted float
+    -> mean-subtracted float32 (the cascade's input convention)."""
+    images = np.asarray(images)
+    if images.dtype == np.uint8:
+        images = images.astype(np.float32) / 255.0 - 0.5
+    elif images.min() >= 0.0 and images.max() <= 1.0:
+        images = images.astype(np.float32) - 0.5
+    return images.astype(np.float32, copy=False)
+
+
 class HandPoseEstimator:
     def __init__(self, params, batch_size=16, input_hw=(240, 320),
                  compute_dtype=None, left_hand=True, seg_scale=1.0,
@@ -108,11 +119,7 @@ class HandPoseEstimator:
     def predict(self, images):
         """images: [N, H, W, 3], uint8 in [0,255] or float in [0,1] or
         mean-subtracted float. Returns dict of numpy arrays with leading N."""
-        images = np.asarray(images)
-        if images.dtype == np.uint8:
-            images = images.astype(np.float32) / 255.0 - 0.5
-        elif images.min() >= 0.0 and images.max() <= 1.0:
-            images = images.astype(np.float32) - 0.5
+        images = normalize_images(images)
         n = images.shape[0]
         assert images.shape[1:3] == self.input_hw, (
             f"expected {self.input_hw} input, got {images.shape[1:3]}; "
