@@ -54,6 +54,18 @@ def base_parser(description):
     return p
 
 
+def add_memory_args(p):
+    """Activation-memory levers shared by the training CLIs."""
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the loss: recompute activations in "
+                        "the backward pass instead of storing them")
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="Gradient accumulation: split the batch into this "
+                        "many microbatches, average their grads, apply one "
+                        "update (batch size must be divisible)")
+    return p
+
+
 def _metrics_logger(args):
     """MetricsLogger for --metrics-log, or None (echo stays on the prints)."""
     path = getattr(args, "metrics_log", None)

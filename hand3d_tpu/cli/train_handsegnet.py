@@ -12,6 +12,7 @@ from hand3d_tpu.cli._common import (  # noqa: F401
     add_qat_arg,
     maybe_qat,
     add_mesh_arg,
+    add_memory_args,
     add_weights_arg,
     base_parser,
     build_mesh,
@@ -53,6 +54,7 @@ def main():
                    help="Run preprocessing as a separate program instead "
                         "of fusing it into the jitted train step")
     add_mesh_arg(p)
+    add_memory_args(p)
     args = p.parse_args()
 
     dataset = RHDDataset("training", path=args.data)
@@ -86,6 +88,7 @@ def main():
         mesh=mesh, seed=args.seed, snapshot_dir=args.snapshot_dir,
         snapshot_freq=args.snapshot_freq, resume=args.resume,
         step_timeout=args.step_timeout,
+        remat=args.remat, accum_steps=args.accum_steps,
         metrics_logger=_metrics_logger(args),
     )
 

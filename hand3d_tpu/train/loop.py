@@ -82,6 +82,8 @@ def fit(
     step_timeout=None,
     log=print,
     metrics_logger=None,
+    remat=False,
+    accum_steps=1,
 ):
     """Train ``params`` with ``loss_fn(params, batch, key)``.
 
@@ -105,7 +107,8 @@ def fit(
 
         state = shard_state(mesh, state)
 
-    step_fn = make_train_step(loss_fn, optimizer, mesh=mesh)
+    step_fn = make_train_step(loss_fn, optimizer, mesh=mesh, remat=remat,
+                              accum_steps=accum_steps)
     base_key = jax.random.PRNGKey(seed)
 
     progress = {"iter": start_step}

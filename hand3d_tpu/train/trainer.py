@@ -59,19 +59,65 @@ def init_state(params, optimizer):
     return TrainState(params, optimizer.init(params), jax.numpy.zeros((), jax.numpy.int32))
 
 
-def make_train_step(loss_fn, optimizer, mesh=None, donate=True, remat=False):
+def make_train_step(loss_fn, optimizer, mesh=None, donate=True, remat=False,
+                    accum_steps=1):
     """Build a jitted train step for ``loss_fn(params, batch, key) -> scalar``.
 
     If ``mesh`` is given, params/opt state use the TP sharding rules and the
     batch is expected sharded over the "data" axis; otherwise single-device.
     ``remat=True`` wraps the loss in jax.checkpoint, trading recompute for
     activation memory (useful for large batches/resolutions on one chip).
+
+    ``accum_steps > 1`` enables gradient accumulation: the batch's leading
+    axis is split into ``accum_steps`` equal microbatches, gradients of the
+    per-microbatch backward passes are averaged, and ONE optimizer update
+    is applied — activations are live one microbatch at a time, so the
+    effective batch can exceed what one forward/backward fits in HBM.
+    Exactly equal to the unaccumulated step when the loss is a mean over
+    samples; for losses with batch-coupled normalizers (e.g. the PoseNet
+    visibility-weighted loss, training_posenet.py:57-61) it is the standard
+    mean-of-microbatch-losses approximation. Each microbatch gets its own
+    fold of the step RNG key (dropout/aug noise stay i.i.d. per sample).
     """
     if remat:
         loss_fn = jax.checkpoint(loss_fn)
 
+    def grads_of(params, batch, key):
+        if accum_steps == 1:
+            return jax.value_and_grad(loss_fn)(params, batch, key)
+
+        def split(x):
+            n = x.shape[0]
+            assert n % accum_steps == 0, (
+                f"batch axis {n} not divisible by accum_steps {accum_steps}"
+            )
+            return x.reshape((accum_steps, n // accum_steps) + x.shape[1:])
+
+        micro = jax.tree_util.tree_map(split, batch)
+        keys = jax.random.split(key, accum_steps)
+
+        # Unrolled on purpose: a lax.scan body measured 26x slower at
+        # runtime on XLA:CPU (scan serializes what the unrolled program
+        # runs thread-parallel); accum_steps is small and static, so the
+        # linear compile-size growth is the cheaper trade on every backend.
+        loss_sum, grad_sum = None, None
+        for i in range(accum_steps):
+            mb = jax.tree_util.tree_map(lambda x: x[i], micro)
+            loss, grads = jax.value_and_grad(loss_fn)(params, mb, keys[i])
+            if grad_sum is None:
+                loss_sum, grad_sum = loss, grads
+            else:
+                loss_sum = loss_sum + loss
+                grad_sum = jax.tree_util.tree_map(
+                    jax.numpy.add, grad_sum, grads
+                )
+        inv = 1.0 / accum_steps
+        return loss_sum * inv, jax.tree_util.tree_map(
+            lambda g: g * inv, grad_sum
+        )
+
     def step(state, batch, key):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
+        loss, grads = grads_of(state.params, batch, key)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), {"loss": loss}

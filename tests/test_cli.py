@@ -77,7 +77,8 @@ def test_cli_train_posenet_with_npz_weights(rhd_bin, tmp_path, monkeypatch,
         cli,
         ["--data", rhd_bin, "--batch-size", "2", "--max-iter", "2",
          "--weights", weights, "--snapshot-dir", snap_dir,
-         "--snapshot-freq", "0", "--metrics-log", metrics],
+         "--snapshot-freq", "0", "--metrics-log", metrics,
+         "--accum-steps", "2"],
         monkeypatch,
     )
     assert os.path.exists(os.path.join(snap_dir, "snapshot-2.msgpack"))

@@ -229,3 +229,46 @@ def test_fused_train_step_matches_unfused_losslessly(tmp_path):
     plain = float(loss_fn(params, batch, key))
     fused = float(fuse_preprocess(loss_fn, preprocess_rhd, cfg)(params, raw, key))
     np.testing.assert_allclose(plain, fused, rtol=1e-6)
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=4 must equal the unaccumulated step exactly for a loss
+    that is a mean over samples (grad-average == full-batch grad)."""
+    import jax.numpy as jnp
+    import optax
+    from hand3d_tpu.train.trainer import make_train_step
+
+    rng = np.random.RandomState(0)
+    params = {"w": jnp.asarray(rng.randn(2, 3), jnp.float32)}
+    batch = {
+        "x": jnp.asarray(rng.randn(8, 3), jnp.float32),
+        "y": jnp.asarray(rng.randn(8, 2), jnp.float32),
+    }
+
+    def loss_fn(params, batch, key):
+        pred = batch["x"] @ params["w"].T
+        return jnp.mean((pred - batch["y"]) ** 2)
+
+    opt = optax.adam(1e-2)
+    key = jax.random.PRNGKey(3)
+
+    def run(**kw):
+        state = init_state(params, opt)
+        step = make_train_step(loss_fn, opt, donate=False, **kw)
+        new_state, metrics = step(state, batch, key)
+        return np.asarray(new_state.params["w"]), float(metrics["loss"])
+
+    w_full, loss_full = run()
+    w_acc, loss_acc = run(accum_steps=4)
+    np.testing.assert_allclose(loss_acc, loss_full, rtol=1e-6)
+    np.testing.assert_allclose(w_acc, w_full, atol=1e-6)
+
+    # composes with remat
+    w_remat, _ = run(accum_steps=2, remat=True)
+    np.testing.assert_allclose(w_remat, w_full, atol=1e-6)
+
+    # indivisible batch must fail loudly at trace time
+    import pytest
+
+    with pytest.raises(AssertionError, match="divisible"):
+        run(accum_steps=3)
