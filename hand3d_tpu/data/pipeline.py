@@ -19,13 +19,23 @@ from hand3d_tpu.data.rhd import RHDDataset
 from hand3d_tpu.data.stb import STBDataset
 
 
-def epoch_indices(num_samples, batch_size, shuffle, seed, drop_remainder=True):
-    """Batched index arrays for one epoch."""
+def epoch_indices(num_samples, batch_size, shuffle, seed, drop_remainder=True,
+                  process_shard=(0, 1)):
+    """Batched index arrays for one epoch.
+
+    ``process_shard=(i, n)``: take the i-th of n disjoint strided slices of
+    the (identically seeded, hence identical across hosts) epoch
+    permutation — multi-host data loading where every process reads only
+    its own records. Shards are disjoint and cover the epoch.
+    """
     idx = np.arange(num_samples)
     if shuffle:
         np.random.RandomState(seed).shuffle(idx)
+    pidx, pcount = process_shard
+    if pcount > 1:
+        idx = idx[pidx::pcount]
     if drop_remainder:
-        n = (num_samples // batch_size) * batch_size
+        n = (len(idx) // batch_size) * batch_size
         idx = idx[:n]
     else:
         pad = (-len(idx)) % batch_size
@@ -47,10 +57,19 @@ class InputPipeline:
       sharding: optional jax.sharding.Sharding for the raw batch arrays
         (e.g. parallel.mesh.batch_sharding(mesh) for DP).
       prefetch: host-side queue depth.
+      process_shard: multi-host data loading. None (default) auto-detects
+        (jax.process_index(), jax.process_count()); pass an explicit
+        (index, count) to override (or to test sharding single-process).
+        With count > 1, ``batch_size`` is the PER-PROCESS batch, each
+        process reads a disjoint strided shard of the identically-seeded
+        epoch permutation, and device placement goes through
+        jax.make_array_from_process_local_data so the global array's
+        "data"-axis shards come from each process's local batch.
     """
 
     def __init__(self, dataset, cfg, batch_size, shuffle=True, seed=0,
-                 sharding=None, prefetch=2, use_native=False, yield_raw=False):
+                 sharding=None, prefetch=2, use_native=False, yield_raw=False,
+                 process_shard=None):
         self.dataset = dataset
         self.cfg = cfg
         self.batch_size = batch_size
@@ -59,6 +78,11 @@ class InputPipeline:
         self.sharding = sharding
         self.prefetch = prefetch
         self.use_native = use_native
+        if process_shard is None:
+            process_shard = (jax.process_index(), jax.process_count())
+        pidx, pcount = process_shard
+        assert 0 <= pidx < pcount, process_shard
+        self.process_shard = (int(pidx), int(pcount))
         # yield_raw: skip on-pipeline preprocessing and yield the raw record
         # dict (device-resident) — used by fused train steps that run
         # preprocess inside the same jitted program as fwd/bwd/update
@@ -72,12 +96,34 @@ class InputPipeline:
             return raw
         return self._preprocess(self.cfg, raw, key)
 
+    def _shard_len(self):
+        pidx, pcount = self.process_shard
+        # strided slice [pidx::pcount] of the epoch permutation
+        return (len(self.dataset) - pidx + pcount - 1) // pcount
+
+    def _place(self, raw):
+        if self.sharding is None:
+            return raw
+        shardings = jax.tree_util.tree_map(lambda _: self.sharding, raw)
+        # keyed on the actual runtime topology, not process_shard: explicit
+        # (i, n) shards on a single process (tests) still device_put locally
+        if jax.process_count() > 1:
+            return jax.tree_util.tree_map(
+                lambda x, s: jax.make_array_from_process_local_data(
+                    s, np.asarray(x)
+                ),
+                raw, shardings,
+            )
+        return jax.device_put(raw, shardings)
+
     def steps_per_epoch(self):
-        steps = len(self.dataset) // self.batch_size
+        steps = self._shard_len() // self.batch_size
         if steps == 0:
             raise ValueError(
-                f"batch_size {self.batch_size} exceeds dataset size "
-                f"{len(self.dataset)}: every epoch would yield zero batches"
+                f"batch_size {self.batch_size} exceeds this process's "
+                f"dataset shard ({self._shard_len()} of "
+                f"{len(self.dataset)} records): every epoch would yield "
+                "zero batches"
             )
         return steps
 
@@ -87,10 +133,11 @@ class InputPipeline:
     def iterate(self, epochs=None, start_epoch=0):
         """Yield feature dicts; ``epochs=None`` iterates forever."""
         self.steps_per_epoch()  # validate batch size vs dataset up front
-        if self.use_native and start_epoch == 0:
-            # the native streamer owns its shuffle state and cannot resume
-            # from a later epoch's order/keys; resumed iteration falls back
-            # to the threaded path, which honors start_epoch exactly
+        if self.use_native and start_epoch == 0 and self.process_shard[1] == 1:
+            # the native streamer owns its shuffle state: it cannot resume
+            # from a later epoch's order/keys, and its order is unsharded —
+            # resumed or multi-host iteration uses the threaded path (which
+            # honors start_epoch and the per-process epoch shard exactly)
             native_it = self._iterate_native(epochs)
             if native_it is not None:
                 yield from native_it
@@ -103,7 +150,7 @@ class InputPipeline:
             while not stop.is_set() and (epochs is None or epoch < start_epoch + epochs):
                 batches = epoch_indices(
                     len(self.dataset), self.batch_size, self.shuffle,
-                    self.seed + epoch,
+                    self.seed + epoch, process_shard=self.process_shard,
                 )
                 for step, idx in enumerate(batches):
                     if stop.is_set():
@@ -122,15 +169,15 @@ class InputPipeline:
                 if item is None:
                     return
                 epoch, step, raw = item
-                if self.sharding is not None:
-                    raw = jax.device_put(
-                        raw, jax.tree_util.tree_map(lambda _: self.sharding, raw)
-                    )
+                raw = self._place(raw)
                 key = None
                 if self.cfg.needs_rng:
                     key = jax.random.fold_in(
                         jax.random.fold_in(base_key, epoch), step
                     )
+                    if self.process_shard[1] > 1:
+                        # distinct augmentation noise per host
+                        key = jax.random.fold_in(key, self.process_shard[0])
                 yield self._emit(raw, key)
         finally:
             stop.set()
@@ -170,12 +217,7 @@ class InputPipeline:
                     if item is None:
                         return
                     recs, _ = item
-                    raw = self.dataset.raw_from_records(recs)
-                    if self.sharding is not None:
-                        raw = jax.device_put(
-                            raw,
-                            jax.tree_util.tree_map(lambda _: self.sharding, raw),
-                        )
+                    raw = self._place(self.dataset.raw_from_records(recs))
                     key = None
                     if self.cfg.needs_rng:
                         epoch, step = divmod(step_total, steps_per_epoch)

@@ -1,6 +1,7 @@
 from hand3d_tpu.parallel.mesh import (
     make_mesh,
     make_multislice_mesh,
+    init_distributed,
     batch_sharding,
     param_sharding,
     replicate,
@@ -23,6 +24,7 @@ from hand3d_tpu.parallel.expert import (
 __all__ = [
     "make_mesh",
     "make_multislice_mesh",
+    "init_distributed",
     "make_pipeline_mesh",
     "make_expert_mesh",
     "batch_sharding",

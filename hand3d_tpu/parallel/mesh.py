@@ -24,6 +24,28 @@ SLICE_AXIS = "slice"
 _MIN_SHARD_DIM = 128
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host bring-up: call ONCE at program start on every host of a
+    multi-host pod/slice before any other jax use, then build meshes over
+    the global `jax.devices()` as usual.
+
+    Thin wrapper over jax.distributed.initialize (args auto-detected on
+    Cloud TPU). Returns (process_index, process_count) — feed these (or let
+    it auto-detect) to data.InputPipeline's ``process_shard`` for
+    per-process dataset sharding. No-op on a single process.
+    """
+    if num_processes is not None and num_processes > 1 or (
+        coordinator_address is not None
+    ):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index(), jax.process_count()
+
+
 def make_mesh(n_data=None, n_model=1, devices=None):
     """Build a ("data", "model") mesh over the given (or all) devices."""
     devices = list(devices if devices is not None else jax.devices())

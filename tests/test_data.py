@@ -297,3 +297,45 @@ def test_epoch_indices_pad_small_dataset():
     batches = epoch_indices(3, 8, shuffle=False, seed=0, drop_remainder=False)
     assert batches.shape == (1, 8)
     assert set(batches[0]) == {0, 1, 2}
+
+
+def test_epoch_indices_process_shards_partition_the_epoch():
+    from hand3d_tpu.data.pipeline import epoch_indices
+
+    full = epoch_indices(10, 1, shuffle=True, seed=5).ravel()
+    s0 = epoch_indices(10, 1, shuffle=True, seed=5, process_shard=(0, 2)).ravel()
+    s1 = epoch_indices(10, 1, shuffle=True, seed=5, process_shard=(1, 2)).ravel()
+    assert set(s0) & set(s1) == set()
+    assert sorted([*s0, *s1]) == sorted(full)
+    # strided slices of the SAME permutation (identical seed across hosts)
+    np.testing.assert_array_equal(s0, full[0::2])
+    np.testing.assert_array_equal(s1, full[1::2])
+
+
+def test_pipeline_process_sharding(rhd_left):
+    """Two single-process pipelines with explicit (i, 2) shards must read
+    disjoint halves of the epoch and report halved steps_per_epoch."""
+    cfg = PreprocessConfig(hand_crop=True)
+    pipes = [
+        InputPipeline(rhd_left, cfg, batch_size=1, shuffle=True, seed=7,
+                      process_shard=(i, 2))
+        for i in range(2)
+    ]
+    assert [p.steps_per_epoch() for p in pipes] == [2, 2]
+
+    # 4 records, shard = 2 each; crops from the two shards together must
+    # equal the crops of the unsharded epoch (same permutation)
+    unsharded = InputPipeline(rhd_left, cfg, batch_size=1, shuffle=True,
+                              seed=7, process_shard=(0, 1))
+    ref = [np.asarray(b["image_crop"]) for b in unsharded.iterate(epochs=1)]
+    got0 = [np.asarray(b["image_crop"]) for b in pipes[0].iterate(epochs=1)]
+    got1 = [np.asarray(b["image_crop"]) for b in pipes[1].iterate(epochs=1)]
+    np.testing.assert_allclose(got0, ref[0::2])
+    np.testing.assert_allclose(got1, ref[1::2])
+
+    # oversize per-shard batch fails loudly
+    import pytest
+
+    big = InputPipeline(rhd_left, cfg, batch_size=3, process_shard=(0, 2))
+    with pytest.raises(ValueError, match="shard"):
+        big.steps_per_epoch()
