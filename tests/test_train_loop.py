@@ -272,3 +272,42 @@ def test_grad_accumulation_matches_full_batch():
 
     with pytest.raises(AssertionError, match="divisible"):
         run(accum_steps=3)
+
+
+def test_joint_finetune_grads_reach_both_stages(tmp_path):
+    """train_joint's loss must backprop through the lifting nets INTO
+    PoseNet (the point of joint fine-tuning: lifting sees predicted, not
+    GT, scoremaps)."""
+    import jax.numpy as jnp
+    from hand3d_tpu.cli.train_joint import make_joint_loss
+    from hand3d_tpu.data.config import PreprocessConfig
+    from hand3d_tpu.data.preprocess import preprocess_rhd
+
+    dataset = _dataset(tmp_path)
+    cfg = PreprocessConfig(hand_crop=True, use_wrist_coord=False,
+                           crop_size=32)
+    raw = {k: jnp.asarray(v) for k, v in dataset.raw_batch([0, 1]).items()}
+    batch = preprocess_rhd(cfg, raw)
+
+    loss_fn, prior = make_joint_loss("proposed", 1.0, 1.0)
+    params = {posenet.SCOPE: posenet.init(jax.random.PRNGKey(0))}
+    params.update(prior.init(jax.random.PRNGKey(1)))
+
+    key = jax.random.PRNGKey(2)
+    loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+    assert np.isfinite(float(loss))
+    for scope in ("PoseNet2D", "PosePrior", "ViewpointNet"):
+        total = sum(
+            float(np.abs(np.asarray(g)).sum())
+            for g in jax.tree_util.tree_leaves(grads[scope])
+        )
+        assert total > 0.0, f"no gradient reached {scope}"
+
+    # w3d=0 must cut the lifting gradient into PoseNet down to the pure-2d
+    # loss, and leave the lifting nets without any gradient at all
+    loss_fn_2d, _ = make_joint_loss("proposed", 1.0, 0.0)
+    g2d = jax.grad(loss_fn_2d)(params, batch, key)
+    assert sum(
+        float(np.abs(np.asarray(g)).sum())
+        for g in jax.tree_util.tree_leaves(g2d["PosePrior"])
+    ) == 0.0
