@@ -45,7 +45,7 @@ def _eval_batches(dataset, batch_size):
 
 
 def _run(dataset, cfg, batch_size, step_fn, util_feed, progress=None,
-         mesh=None, window=3):
+         mesh=None, window=3, max_batches=None):
     """Stream the dataset through ``step_fn`` with a fully pipelined loop:
 
     - preprocess + metrics step fuse into ONE jitted program per batch
@@ -71,6 +71,8 @@ def _run(dataset, cfg, batch_size, step_fn, util_feed, progress=None,
 
     q = queue.Queue(maxsize=2)
     batches = list(_eval_batches(dataset, batch_size))
+    if max_batches is not None:
+        batches = batches[:max_batches]
 
     def producer():
         for idx, valid in batches:
@@ -104,11 +106,12 @@ def _run(dataset, cfg, batch_size, step_fn, util_feed, progress=None,
 
 
 def eval2d_gt_cropped(posenet_params, dataset, batch_size=32, progress=None,
-                      mesh=None):
+                      mesh=None, max_batches=None):
     """PoseNet alone on ground-truth crops; 2D EPE in source-image pixels.
 
     Reference: eval2d_gt_cropped.py (reader settings :38, EPE / crop_scale
-    :82, thresholds 0-30 px over 20 steps :87).
+    :82, thresholds 0-30 px over 20 steps :87). ``max_batches`` bounds the
+    pass (e.g. for periodic in-training validation).
     """
     from hand3d_tpu.models import posenet
 
@@ -128,7 +131,8 @@ def eval2d_gt_cropped(posenet_params, dataset, batch_size=32, progress=None,
 
     util = EvalUtil()
     _run(dataset, cfg, batch_size, step,
-         lambda o: util.feed_batch(o["dists"], o["vis"]), progress, mesh)
+         lambda o: util.feed_batch(o["dists"], o["vis"]), progress, mesh,
+         max_batches=max_batches)
     mean, median, auc, curve, thr = util.get_measures(0.0, 30.0, 20)
     return {"epe_mean_px": mean, "epe_median_px": median, "auc_0_30px": auc,
             "pck_curve": curve, "thresholds_px": thr}

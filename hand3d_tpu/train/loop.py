@@ -84,6 +84,8 @@ def fit(
     metrics_logger=None,
     remat=False,
     accum_steps=1,
+    eval_fn=None,
+    eval_freq=0,
 ):
     """Train ``params`` with ``loss_fn(params, batch, key)``.
 
@@ -92,6 +94,10 @@ def fit(
     ``step_timeout``: seconds without a completed step before the watchdog
     aborts the process (hang detection; None = disabled). Set it well above
     the first step's compile time.
+    ``eval_fn``: optional ``eval_fn(state, step) -> dict`` run every
+    ``eval_freq`` steps (and after the final step); its metrics go to
+    ``log`` and the metrics logger (step + eval_* keys). The reference had
+    no in-training validation at all — separate eval scripts only.
     """
     state = init_state(params, optimizer)
     start_step = 0
@@ -121,7 +127,7 @@ def fit(
         state = _run_loop(
             state, step_fn, it, base_key, start_step, max_iter, progress,
             watchdog, show_loss_freq, snapshot_freq, snapshot_dir,
-            metrics_logger, log, t0,
+            metrics_logger, log, t0, eval_fn, eval_freq,
         )
     finally:
         # disarm even on exceptions a caller may catch — otherwise whatever
@@ -133,7 +139,18 @@ def fit(
 
 def _run_loop(state, step_fn, it, base_key, start_step, max_iter, progress,
               watchdog, show_loss_freq, snapshot_freq, snapshot_dir,
-              metrics_logger, log, t0):
+              metrics_logger, log, t0, eval_fn=None, eval_freq=0):
+    def run_eval(state, step):
+        results = {
+            k: float(v) for k, v in eval_fn(state, step).items()
+        }
+        line = "  ".join(f"{k} {v:.4g}" for k, v in results.items())
+        log(f"Eval @ {step}\t {line}")
+        if metrics_logger is not None:
+            metrics_logger.log(
+                step=step, **{f"eval_{k}": v for k, v in results.items()}
+            )
+
     pending_loss = None  # previous step's loss, fetched one step behind
     for i in range(start_step, max_iter):
         progress["iter"] = i
@@ -168,10 +185,15 @@ def _run_loop(state, step_fn, it, base_key, start_step, max_iter, progress,
             checkpoints.save_snapshot(snapshot_dir, state, step=i)
             log("Saved a snapshot.")
 
+        if eval_fn is not None and eval_freq and (i % eval_freq) == 0 and i > 0:
+            run_eval(state, i)
+
     if watchdog is not None and pending_loss is not None:
         # the last in-flight step must also complete under the watchdog
         float(pending_loss)
         watchdog.beat()
+    if eval_fn is not None:
+        run_eval(state, max_iter)
     if snapshot_dir:
         # the final save fetches device state — keep it under the watchdog
         checkpoints.save_snapshot(snapshot_dir, state, step=max_iter)

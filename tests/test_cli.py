@@ -205,3 +205,26 @@ def test_serving_estimator_phase_pack_matches_plain():
     np.testing.assert_allclose(
         packed["keypoint_uv21"], plain["keypoint_uv21"], atol=0.51
     )  # integer-pixel decode: at most off by rounding at exact ties
+
+
+def test_cli_train_posenet_inline_eval(rhd_bin, tmp_path, monkeypatch, capsys):
+    from hand3d_tpu.cli import train_posenet as cli
+
+    metrics = str(tmp_path / "metrics.jsonl")
+    _run_main(
+        cli,
+        ["--data", rhd_bin, "--batch-size", "2", "--max-iter", "2",
+         "--crop-size", "32", "--snapshot-dir", str(tmp_path / "s"),
+         "--snapshot-freq", "0", "--metrics-log", metrics,
+         "--eval-data", rhd_bin, "--eval-freq", "1", "--eval-batches", "1"],
+        monkeypatch,
+    )
+    out = capsys.readouterr().out
+    assert "Eval @" in out
+    import json
+
+    evals = [json.loads(l) for l in open(metrics) if "eval_epe_mean_px" in l]
+    # eval at step 1 (freq 1) and the final eval at max_iter
+    assert len(evals) == 2
+    assert all(np.isfinite(e["eval_epe_mean_px"]) for e in evals)
+    assert all("eval_auc_0_30px" in e for e in evals)
