@@ -50,6 +50,13 @@ def main():
                    default=True,
                    help="Run preprocessing as a separate program instead "
                         "of fusing it into the jitted train step")
+    p.add_argument("--eval-data", default=None,
+                   help="Path to rhd_evaluation.bin: run the GT-scoremap "
+                        "3D EPE eval periodically during training")
+    p.add_argument("--eval-freq", type=int, default=5000,
+                   help="Steps between in-training evals (with --eval-data)")
+    p.add_argument("--eval-batches", type=int, default=None,
+                   help="Bound each in-training eval to this many batches")
     add_mesh_arg(p)
     add_memory_args(p)
     args = p.parse_args()
@@ -92,6 +99,20 @@ def main():
 
         train_loss = fuse_preprocess(base_loss, preprocess_rhd, cfg)
 
+    eval_fn = None
+    if args.eval_data:
+        from hand3d_tpu.eval.harnesses import eval3d_lifting
+
+        eval_dataset = RHDDataset("evaluation", path=args.eval_data)
+
+        def eval_fn(state, step):
+            m = eval3d_lifting(
+                args.variant, jax.device_get(state.params), eval_dataset,
+                batch_size=args.batch_size, max_batches=args.eval_batches,
+            )
+            return {k: m[k] for k in
+                    ("epe_mean_mm", "epe_median_mm", "auc_0_50mm")}
+
     optimizer = make_optimizer(args.lr, args.lr_iter)
     fit(
         train_loss, params, optimizer, pipeline, args.max_iter,
@@ -100,6 +121,7 @@ def main():
         step_timeout=args.step_timeout,
         remat=args.remat, accum_steps=args.accum_steps,
         metrics_logger=_metrics_logger(args),
+        eval_fn=eval_fn, eval_freq=args.eval_freq,
     )
 
 

@@ -174,7 +174,7 @@ def eval2d_full_image(params, dataset, batch_size=16, use_wrist_coord=True,
 
 
 def eval3d_lifting(variant, lifting_params, dataset, batch_size=32,
-                   progress=None, mesh=None):
+                   progress=None, mesh=None, max_batches=None):
     """A lifting variant from GT scoremaps; 3D EPE in meters.
 
     Reference: eval3d.py (reader :50, pred * keypoint_scale and root-centered
@@ -194,7 +194,44 @@ def eval3d_lifting(variant, lifting_params, dataset, batch_size=32,
     util = EvalUtil()
     _run(dataset, cfg, batch_size, step,
          lambda o: util.feed_batch(o["dists"], np.ones_like(o["dists"])),
-         progress, mesh)
+         progress, mesh, max_batches=max_batches)
+    mean, median, auc, curve, thr = util.get_measures(0.0, 0.050, 20)
+    return {"epe_mean_mm": mean * 1000, "epe_median_mm": median * 1000,
+            "auc_0_50mm": auc, "pck_curve": curve, "thresholds_m": thr}
+
+
+def eval3d_from_posenet(variant, params, dataset, batch_size=32,
+                        progress=None, mesh=None, max_batches=None):
+    """Lifting from PoseNet's PREDICTED scoremaps on GT crops; 3D EPE (m).
+
+    No reference analog (eval3d.py feeds GT scoremaps; eval_full.py also
+    includes detection): this isolates the 2D->3D hand-off that
+    cli/train_joint.py fine-tunes. Metric math matches eval3d.py:88-101.
+    ``params`` holds the PoseNet2D + PosePrior(+ViewpointNet) scopes.
+    """
+    from hand3d_tpu.models import posenet as posenet_mod
+
+    net = PosePriorNetwork(variant)
+    cfg = PreprocessConfig(hand_crop=True, use_wrist_coord=False,
+                           render_scoremap=False)
+
+    @jax.jit
+    def step(data):
+        preds = posenet_mod.apply(params[posenet_mod.SCOPE],
+                                  data["image_crop"])
+        scoremap = preds[-1]
+        if scoremap.shape[1] != 32:
+            scoremap = resize_bilinear(scoremap, (32, 32))
+        out = net.apply(params, scoremap, data["hand_side"])
+        pred = out.coord_xyz_rel_normed * data["keypoint_scale"][:, None, None]
+        gt = data["keypoint_xyz21"] - data["keypoint_xyz21"][:, :1]
+        dists = jnp.linalg.norm(gt - pred, axis=-1)
+        return {"dists": dists}
+
+    util = EvalUtil()
+    _run(dataset, cfg, batch_size, step,
+         lambda o: util.feed_batch(o["dists"], np.ones_like(o["dists"])),
+         progress, mesh, max_batches=max_batches)
     mean, median, auc, curve, thr = util.get_measures(0.0, 0.050, 20)
     return {"epe_mean_mm": mean * 1000, "epe_median_mm": median * 1000,
             "auc_0_50mm": auc, "pck_curve": curve, "thresholds_m": thr}

@@ -11,6 +11,7 @@ from hand3d_tpu.data.stb import STBDataset
 from hand3d_tpu.eval.harnesses import (
     eval2d_full_image,
     eval2d_gt_cropped,
+    eval3d_from_posenet,
     eval3d_lifting,
     eval_full_pipeline,
 )
@@ -134,3 +135,18 @@ def test_eval3d_with_mesh(rhd):
     np.testing.assert_allclose(
         single["epe_mean_mm"], sharded["epe_mean_mm"], rtol=1e-5
     )
+
+
+def test_eval3d_from_posenet_harness(rhd):
+    """The joint-stage eval: lifting from PREDICTED scoremaps, bounded by
+    max_batches."""
+    net = PosePriorNetwork("proposed")
+    params = {posenet.SCOPE: posenet.init(jax.random.PRNGKey(0))}
+    params.update(net.init(jax.random.PRNGKey(1)))
+    m = eval3d_from_posenet("proposed", params, rhd, batch_size=2,
+                            max_batches=1)
+    assert np.isfinite(m["epe_median_mm"])
+    assert 1.0 < m["epe_median_mm"] < 1000.0
+    # max_batches bounds the pass: 1 batch of 2 from the 5-record set
+    full = eval3d_from_posenet("proposed", params, rhd, batch_size=2)
+    assert full["pck_curve"].shape == m["pck_curve"].shape
