@@ -42,6 +42,10 @@ def __getattr__(name):
         from hand3d_tpu.serving import HandPoseEstimator
 
         return HandPoseEstimator
+    if name == "AutoBucketEstimator":
+        from hand3d_tpu.serving import AutoBucketEstimator
+
+        return AutoBucketEstimator
     if name == "quantize_params_int8":
         from hand3d_tpu.ops.quant import quantize_params_int8
 

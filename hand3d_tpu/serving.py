@@ -116,10 +116,17 @@ class HandPoseEstimator:
         )
         return self
 
-    def predict(self, images):
+    def predict(self, images, *, normalized=False):
         """images: [N, H, W, 3], uint8 in [0,255] or float in [0,1] or
-        mean-subtracted float. Returns dict of numpy arrays with leading N."""
-        images = normalize_images(images)
+        mean-subtracted float. Returns dict of numpy arrays with leading N.
+        The input H, W must match this estimator's bucket; see
+        AutoBucketEstimator for mixed-resolution traffic.
+        ``normalized=True`` asserts the caller already ran
+        normalize_images (the [0,1]-range heuristic must only run once)."""
+        if not normalized:
+            images = normalize_images(images)
+        else:
+            images = np.asarray(images)
         n = images.shape[0]
         assert images.shape[1:3] == self.input_hw, (
             f"expected {self.input_hw} input, got {images.shape[1:3]}; "
@@ -145,3 +152,81 @@ class HandPoseEstimator:
             for out, valid in pending
         ]
         return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+
+class AutoBucketEstimator:
+    """Serving across mixed input resolutions: one compiled bucket per
+    observed (height, width), built lazily and cached.
+
+    Each distinct resolution costs one compile on first sight (XLA programs
+    are shape-static); ``max_buckets`` bounds that. With ``snap_hws`` the
+    input is first bilinearly resized (on host, cheap vs a new compile) to
+    the nearest configured bucket — predictions' uv coordinates are then
+    mapped back to the caller's frame, so outputs always live in the input
+    resolution.
+
+    All other constructor kwargs pass through to HandPoseEstimator.
+    """
+
+    def __init__(self, params, batch_size=16, snap_hws=None, max_buckets=8,
+                 **kwargs):
+        self.params = params
+        self.batch_size = batch_size
+        self.kwargs = kwargs
+        self.snap_hws = [tuple(hw) for hw in snap_hws] if snap_hws else None
+        self.max_buckets = max_buckets
+        self._buckets = {}
+
+    def _bucket(self, hw):
+        est = self._buckets.get(hw)
+        if est is None:
+            if len(self._buckets) >= self.max_buckets:
+                raise RuntimeError(
+                    f"over {self.max_buckets} resolution buckets "
+                    f"(adding {hw}); pass snap_hws to pool resolutions or "
+                    "raise max_buckets"
+                )
+            est = HandPoseEstimator(
+                self.params, batch_size=self.batch_size, input_hw=hw,
+                **self.kwargs,
+            )
+            self._buckets[hw] = est
+        return est
+
+    def _snap(self, hw):
+        if self.snap_hws is None:
+            return hw
+        # nearest by log-area + aspect distance; exact matches win
+        if hw in self.snap_hws:
+            return hw
+        h, w = hw
+
+        def dist(b):
+            bh, bw = b
+            return abs(np.log(bh * bw / (h * w))) + abs(
+                np.log((bh / bw) / (h / w))
+            )
+
+        return min(self.snap_hws, key=dist)
+
+    def predict(self, images):
+        """Same contract as HandPoseEstimator.predict, any resolution."""
+        images = normalize_images(images)
+        hw = tuple(images.shape[1:3])
+        target = self._snap(hw)
+        if target != hw:
+            # host-side bilinear resize into the snapped bucket
+            import jax.image
+
+            images = np.asarray(jax.image.resize(
+                images, (images.shape[0], *target, 3), "bilinear"
+            ))
+        out = self._bucket(target).predict(images, normalized=True)
+        if target != hw:
+            # uv back to the caller's frame (scoremap stays bucket-sized —
+            # resolution-dependent by definition, documented as such)
+            scale = np.asarray(
+                [hw[1] / target[1], hw[0] / target[0]], np.float32
+            )
+            out["keypoint_uv21"] = out["keypoint_uv21"] * scale
+        return out

@@ -228,3 +228,66 @@ def test_cli_train_posenet_inline_eval(rhd_bin, tmp_path, monkeypatch, capsys):
     assert len(evals) == 2
     assert all(np.isfinite(e["eval_epe_mean_px"]) for e in evals)
     assert all("eval_auc_0_30px" in e for e in evals)
+
+
+def test_auto_bucket_estimator():
+    from hand3d_tpu.serving import AutoBucketEstimator, HandPoseEstimator
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+
+    net = ColorHandPose3D()
+    params = net.init(jax.random.PRNGKey(0))
+    auto = AutoBucketEstimator(params, batch_size=2, max_buckets=2)
+
+    rng = np.random.RandomState(0)
+    img_a = (rng.rand(2, 120, 160, 3) * 255).astype(np.uint8)
+    img_b = (rng.rand(1, 96, 128, 3) * 255).astype(np.uint8)
+
+    out_a = auto.predict(img_a)
+    out_b = auto.predict(img_b)
+    assert len(auto._buckets) == 2
+    ref_a = HandPoseEstimator(params, batch_size=2,
+                              input_hw=(120, 160)).predict(img_a)
+    np.testing.assert_allclose(out_a["keypoint_uv21"],
+                               ref_a["keypoint_uv21"], atol=1e-5)
+    assert out_b["keypoint_coord3d"].shape == (1, 21, 3)
+
+    # third distinct resolution exceeds max_buckets
+    import pytest
+
+    with pytest.raises(RuntimeError, match="buckets"):
+        auto.predict(np.zeros((1, 60, 80, 3), np.uint8))
+
+
+def test_auto_bucket_snap_maps_uv_back():
+    from hand3d_tpu.serving import AutoBucketEstimator
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+
+    net = ColorHandPose3D()
+    params = net.init(jax.random.PRNGKey(0))
+    auto = AutoBucketEstimator(params, batch_size=1,
+                               snap_hws=[(120, 160)])
+    rng = np.random.RandomState(1)
+    img = (rng.rand(1, 100, 140, 3) * 255).astype(np.uint8)
+    out = auto.predict(img)
+    assert list(auto._buckets) == [(120, 160)]
+    # uv back in the caller's 100x140 frame
+    assert out["keypoint_uv21"].shape == (1, 21, 2)
+    u, v = out["keypoint_uv21"][0, :, 0], out["keypoint_uv21"][0, :, 1]
+    assert (u <= 140).all() and (v <= 100).all()
+    # the snap path must normalize exactly ONCE: an all-bright image (still
+    # in [0,1] after mean subtraction, so a second normalize_images pass
+    # would shift it again) must match the manual resize->predict pipeline
+    from jax import image as jax_image
+
+    from hand3d_tpu.serving import normalize_images
+
+    bright = np.full((1, 100, 140, 3), 0.9, np.float32)
+    got = auto.predict(bright)
+    manual_in = np.asarray(jax_image.resize(
+        normalize_images(bright), (1, 120, 160, 3), "bilinear"))
+    want = auto._bucket((120, 160)).predict(manual_in, normalized=True)
+    np.testing.assert_allclose(
+        got["keypoint_uv21"],
+        want["keypoint_uv21"] * np.asarray([140 / 160, 100 / 120]),
+        atol=1e-5,
+    )
