@@ -77,3 +77,38 @@ def export_params(path, params):
 
 def import_params(path):
     return load_npz(path)
+
+
+def save_orbax(directory, state, step=None):
+    """Ecosystem-interop checkpoint: write the TrainState as an Orbax
+    (tensorstore/OCDBT) checkpoint at ``directory/<step>``.
+
+    Use when other JAX tooling must read the training state, or on
+    multi-host pods (Orbax coordinates a distributed save; the msgpack
+    snapshots serialize through one host). For single-host training the
+    msgpack path stays the default — smaller dependency surface, one file.
+    """
+    import orbax.checkpoint as ocp
+
+    step = int(step if step is not None else state.step)
+    path = os.path.abspath(os.path.join(directory, str(step)))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, state)
+    return path
+
+
+def restore_orbax(path, template_state):
+    """Restore a save_orbax checkpoint into ``template_state``'s structure
+    (shapes/dtypes validated by Orbax). Pass the directory of one step."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            os.path.abspath(path),
+            ocp.args.PyTreeRestore(
+                jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
+                                       template_state)
+            ),
+        )
+    return TrainState(*restored)

@@ -311,3 +311,27 @@ def test_joint_finetune_grads_reach_both_stages(tmp_path):
         float(np.abs(np.asarray(g)).sum())
         for g in jax.tree_util.tree_leaves(g2d["PosePrior"])
     ) == 0.0
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Ecosystem interop: TrainState survives an Orbax save/restore
+    (params + Adam moments + step)."""
+    import jax.numpy as jnp
+    import optax
+    from hand3d_tpu.train import checkpoints as C
+
+    params = {"lin": {"w": jnp.arange(6.0).reshape(2, 3),
+                      "b": jnp.ones((2,))}}
+    opt = optax.adam(1e-3)
+    state = init_state(params, opt)
+    # one update so the moments are nonzero
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    up, os_ = opt.update(g, state.opt_state, state.params)
+    state = state._replace(params=optax.apply_updates(state.params, up),
+                           opt_state=os_, step=state.step + 1)
+
+    path = C.save_orbax(str(tmp_path / "orbax"), state)
+    back = C.restore_orbax(path, init_state(params, opt))
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
