@@ -26,14 +26,18 @@ def epoch_indices(num_samples, batch_size, shuffle, seed, drop_remainder=True,
     ``process_shard=(i, n)``: take the i-th of n disjoint strided slices of
     the (identically seeded, hence identical across hosts) epoch
     permutation — multi-host data loading where every process reads only
-    its own records. Shards are disjoint and cover the epoch.
+    its own records. Shards are disjoint, and every shard is truncated to
+    the same floor(N/n) length so all hosts run identical step counts per
+    epoch (a one-record length skew would desynchronize lock-step
+    collectives); up to n-1 trailing records of the permutation are
+    dropped per epoch, a different subset each epoch under shuffling.
     """
     idx = np.arange(num_samples)
     if shuffle:
         np.random.RandomState(seed).shuffle(idx)
     pidx, pcount = process_shard
     if pcount > 1:
-        idx = idx[pidx::pcount]
+        idx = idx[pidx::pcount][: num_samples // pcount]
     if drop_remainder:
         n = (len(idx) // batch_size) * batch_size
         idx = idx[:n]
@@ -80,6 +84,17 @@ class InputPipeline:
         self.use_native = use_native
         if process_shard is None:
             process_shard = (jax.process_index(), jax.process_count())
+            if process_shard[1] > 1 and sharding is None:
+                # per-process shards WITHOUT global-array assembly would
+                # silently train n independent models on 1/n of the data
+                # each — demand an explicit choice instead
+                raise ValueError(
+                    f"{jax.process_count()} jax processes but no "
+                    "``sharding``: pass a mesh batch sharding (global "
+                    "arrays, synchronized DP training) or an explicit "
+                    "process_shard to opt into independent per-host "
+                    "iteration"
+                )
         pidx, pcount = process_shard
         assert 0 <= pidx < pcount, process_shard
         self.process_shard = (int(pidx), int(pcount))
@@ -97,9 +112,9 @@ class InputPipeline:
         return self._preprocess(self.cfg, raw, key)
 
     def _shard_len(self):
-        pidx, pcount = self.process_shard
-        # strided slice [pidx::pcount] of the epoch permutation
-        return (len(self.dataset) - pidx + pcount - 1) // pcount
+        # every process's shard is truncated to the same length (see
+        # epoch_indices) so step counts agree across hosts
+        return len(self.dataset) // self.process_shard[1]
 
     def _place(self, raw):
         if self.sharding is None:

@@ -44,9 +44,30 @@ def _eval_batches(dataset, batch_size):
         yield idx, valid
 
 
-def _run(dataset, cfg, batch_size, step_fn, util_feed, progress=None,
-         mesh=None, window=3, max_batches=None):
-    """Stream the dataset through ``step_fn`` with a fully pipelined loop:
+_FUSED_CACHE = {}
+
+
+def _fused_step(cache_key, step_fn, pre, cfg):
+    """One jitted (params, raw) -> outputs function per (harness, config).
+
+    The params are a jit ARGUMENT, not a baked-in closure constant, and the
+    wrapper is cached by key — so repeated harness calls (periodic
+    in-training validation in particular) reuse the compiled program
+    instead of re-tracing the whole network with new weight constants
+    every time.
+    """
+    key = (cache_key, step_fn, pre, cfg)
+    fused = _FUSED_CACHE.get(key)
+    if fused is None:
+        fused = jax.jit(lambda params, raw: step_fn(params, pre(cfg, raw)))
+        _FUSED_CACHE[key] = fused
+    return fused
+
+
+def _run(dataset, cfg, batch_size, step_fn, params, util_feed, progress=None,
+         mesh=None, window=3, max_batches=None, cache_key=()):
+    """Stream the dataset through ``step_fn(params, data)`` with a fully
+    pipelined loop:
 
     - preprocess + metrics step fuse into ONE jitted program per batch
       (dispatch overhead matters: through this environment's TPU tunnel a
@@ -67,7 +88,10 @@ def _run(dataset, cfg, batch_size, step_fn, util_feed, progress=None,
 
         sharding = batch_sharding(mesh)
 
-    fused = jax.jit(lambda raw: step_fn(pre(cfg, raw)))
+    fused_pr = _fused_step(cache_key, step_fn, pre, cfg)
+
+    def fused(raw):
+        return fused_pr(params, raw)
 
     q = queue.Queue(maxsize=2)
     batches = list(_eval_batches(dataset, batch_size))
@@ -105,6 +129,20 @@ def _run(dataset, cfg, batch_size, step_fn, util_feed, progress=None,
         drained += 1
 
 
+def _step_gt_cropped(posenet_params, data):
+    from hand3d_tpu.models import posenet
+
+    preds = posenet.apply(posenet_params, data["image_crop"])
+    factor = CROP_SIZE // preds[-1].shape[1]
+    coord_hw = decode_upsampled(preds[-1], factor)
+    coord_uv = coord_hw[..., ::-1]
+    scale = data["crop_scale"][:, None, None]
+    dists = jnp.linalg.norm(
+        data["keypoint_uv21"] / scale - coord_uv / scale, axis=-1
+    )
+    return {"dists": dists, "vis": data["keypoint_vis21"]}
+
+
 def eval2d_gt_cropped(posenet_params, dataset, batch_size=32, progress=None,
                       mesh=None, max_batches=None):
     """PoseNet alone on ground-truth crops; 2D EPE in source-image pixels.
@@ -113,29 +151,28 @@ def eval2d_gt_cropped(posenet_params, dataset, batch_size=32, progress=None,
     :82, thresholds 0-30 px over 20 steps :87). ``max_batches`` bounds the
     pass (e.g. for periodic in-training validation).
     """
-    from hand3d_tpu.models import posenet
-
     cfg = PreprocessConfig(hand_crop=True, use_wrist_coord=False)
 
-    @jax.jit
-    def step(data):
-        preds = posenet.apply(posenet_params, data["image_crop"])
-        factor = CROP_SIZE // preds[-1].shape[1]
-        coord_hw = decode_upsampled(preds[-1], factor)
-        coord_uv = coord_hw[..., ::-1]
-        scale = data["crop_scale"][:, None, None]
-        dists = jnp.linalg.norm(
-            data["keypoint_uv21"] / scale - coord_uv / scale, axis=-1
-        )
-        return {"dists": dists, "vis": data["keypoint_vis21"]}
-
     util = EvalUtil()
-    _run(dataset, cfg, batch_size, step,
+    _run(dataset, cfg, batch_size, _step_gt_cropped, posenet_params,
          lambda o: util.feed_batch(o["dists"], o["vis"]), progress, mesh,
          max_batches=max_batches)
     mean, median, auc, curve, thr = util.get_measures(0.0, 30.0, 20)
     return {"epe_mean_px": mean, "epe_median_px": median, "auc_0_30px": auc,
             "pck_curve": curve, "thresholds_px": thr}
+
+
+def _step_full_image(params, data):
+    image = data["image"]
+    h, w = image.shape[1:3]
+    image_scaled = resize_bilinear(image, (240, 320))
+    out = ColorHandPose3D().inference2d(params, image_scaled)
+    # map predictions back to the dataset frame (eval2d.py:98-99)
+    coord_uv = out.keypoint_uv21 * jnp.asarray(
+        [w / 320.0, h / 240.0], jnp.float32
+    )
+    dists = jnp.linalg.norm(data["keypoint_uv21"] - coord_uv, axis=-1)
+    return {"dists": dists, "vis": data["keypoint_vis21"]}
 
 
 def eval2d_full_image(params, dataset, batch_size=16, use_wrist_coord=True,
@@ -147,30 +184,44 @@ def eval2d_full_image(params, dataset, batch_size=16, use_wrist_coord=True,
     with scale_to_size=False the network still sees 240x320 but coords are
     mapped back to the 320x320 RHD frame (row 5).
     """
-    net = ColorHandPose3D()
     cfg = PreprocessConfig(
         use_wrist_coord=use_wrist_coord, scale_to_size=scale_to_size,
         render_scoremap=False,
     )
 
-    @jax.jit
-    def step(data):
-        image = data["image"]
-        h, w = image.shape[1:3]
-        image_scaled = resize_bilinear(image, (240, 320))
-        out = net.inference2d(params, image_scaled)
-        coord_uv = out.keypoint_uv21
-        # map predictions back to the dataset frame (eval2d.py:98-99)
-        coord_uv = coord_uv * jnp.asarray([w / 320.0, h / 240.0], jnp.float32)
-        dists = jnp.linalg.norm(data["keypoint_uv21"] - coord_uv, axis=-1)
-        return {"dists": dists, "vis": data["keypoint_vis21"]}
-
     util = EvalUtil()
-    _run(dataset, cfg, batch_size, step,
+    _run(dataset, cfg, batch_size, _step_full_image, params,
          lambda o: util.feed_batch(o["dists"], o["vis"]), progress, mesh)
     mean, median, auc, curve, thr = util.get_measures(0.0, 30.0, 20)
     return {"epe_mean_px": mean, "epe_median_px": median, "auc_0_30px": auc,
             "pck_curve": curve, "thresholds_px": thr}
+
+
+_VARIANT_STEPS = {}
+
+
+def _variant_step(base, variant):
+    """Per-(step, variant) function with a STABLE identity, so the fused-jit
+    cache hits across harness calls (a fresh closure per call would defeat
+    it)."""
+    key = (base, variant)
+    fn = _VARIANT_STEPS.get(key)
+    if fn is None:
+        def fn(params, data):
+            return base(variant, params, data)
+
+        _VARIANT_STEPS[key] = fn
+    return fn
+
+
+def _step_lifting(variant, lifting_params, data):
+    out = PosePriorNetwork(variant).apply(
+        lifting_params, data["scoremap"], data["hand_side"]
+    )
+    pred = out.coord_xyz_rel_normed * data["keypoint_scale"][:, None, None]
+    gt = data["keypoint_xyz21"] - data["keypoint_xyz21"][:, :1]
+    dists = jnp.linalg.norm(gt - pred, axis=-1)
+    return {"dists": dists}
 
 
 def eval3d_lifting(variant, lifting_params, dataset, batch_size=32,
@@ -180,24 +231,30 @@ def eval3d_lifting(variant, lifting_params, dataset, batch_size=32,
     Reference: eval3d.py (reader :50, pred * keypoint_scale and root-centered
     GT :88-96, thresholds 0-50mm :101, all keypoints counted visible :98).
     """
-    net = PosePriorNetwork(variant)
     cfg = PreprocessConfig(hand_crop=True, use_wrist_coord=False)
 
-    @jax.jit
-    def step(data):
-        out = net.apply(lifting_params, data["scoremap"], data["hand_side"])
-        pred = out.coord_xyz_rel_normed * data["keypoint_scale"][:, None, None]
-        gt = data["keypoint_xyz21"] - data["keypoint_xyz21"][:, :1]
-        dists = jnp.linalg.norm(gt - pred, axis=-1)
-        return {"dists": dists}
-
     util = EvalUtil()
-    _run(dataset, cfg, batch_size, step,
+    _run(dataset, cfg, batch_size, _variant_step(_step_lifting, variant),
+         lifting_params,
          lambda o: util.feed_batch(o["dists"], np.ones_like(o["dists"])),
          progress, mesh, max_batches=max_batches)
     mean, median, auc, curve, thr = util.get_measures(0.0, 0.050, 20)
     return {"epe_mean_mm": mean * 1000, "epe_median_mm": median * 1000,
             "auc_0_50mm": auc, "pck_curve": curve, "thresholds_m": thr}
+
+
+def _step_from_posenet(variant, params, data):
+    from hand3d_tpu.models import posenet as posenet_mod
+
+    preds = posenet_mod.apply(params[posenet_mod.SCOPE], data["image_crop"])
+    scoremap = preds[-1]
+    if scoremap.shape[1] != 32:
+        scoremap = resize_bilinear(scoremap, (32, 32))
+    out = PosePriorNetwork(variant).apply(params, scoremap, data["hand_side"])
+    pred = out.coord_xyz_rel_normed * data["keypoint_scale"][:, None, None]
+    gt = data["keypoint_xyz21"] - data["keypoint_xyz21"][:, :1]
+    dists = jnp.linalg.norm(gt - pred, axis=-1)
+    return {"dists": dists}
 
 
 def eval3d_from_posenet(variant, params, dataset, batch_size=32,
@@ -209,32 +266,26 @@ def eval3d_from_posenet(variant, params, dataset, batch_size=32,
     cli/train_joint.py fine-tunes. Metric math matches eval3d.py:88-101.
     ``params`` holds the PoseNet2D + PosePrior(+ViewpointNet) scopes.
     """
-    from hand3d_tpu.models import posenet as posenet_mod
-
-    net = PosePriorNetwork(variant)
     cfg = PreprocessConfig(hand_crop=True, use_wrist_coord=False,
                            render_scoremap=False)
 
-    @jax.jit
-    def step(data):
-        preds = posenet_mod.apply(params[posenet_mod.SCOPE],
-                                  data["image_crop"])
-        scoremap = preds[-1]
-        if scoremap.shape[1] != 32:
-            scoremap = resize_bilinear(scoremap, (32, 32))
-        out = net.apply(params, scoremap, data["hand_side"])
-        pred = out.coord_xyz_rel_normed * data["keypoint_scale"][:, None, None]
-        gt = data["keypoint_xyz21"] - data["keypoint_xyz21"][:, :1]
-        dists = jnp.linalg.norm(gt - pred, axis=-1)
-        return {"dists": dists}
-
     util = EvalUtil()
-    _run(dataset, cfg, batch_size, step,
+    _run(dataset, cfg, batch_size, _variant_step(_step_from_posenet, variant),
+         params,
          lambda o: util.feed_batch(o["dists"], np.ones_like(o["dists"])),
          progress, mesh, max_batches=max_batches)
     mean, median, auc, curve, thr = util.get_measures(0.0, 0.050, 20)
     return {"epe_mean_mm": mean * 1000, "epe_median_mm": median * 1000,
             "auc_0_50mm": auc, "pck_curve": curve, "thresholds_m": thr}
+
+
+def _step_full_pipeline(params, data):
+    image_scaled = resize_bilinear(data["image"], (240, 320))
+    out = ColorHandPose3D().inference(params, image_scaled, data["hand_side"])
+    pred = out.keypoint_coord3d * data["keypoint_scale"][:, None, None]
+    gt = data["keypoint_xyz21"] - data["keypoint_xyz21"][:, :1]
+    dists = jnp.linalg.norm(gt - pred, axis=-1)
+    return {"dists": dists, "vis": data["keypoint_vis21"]}
 
 
 def eval_full_pipeline(params, dataset, batch_size=16, progress=None,
@@ -245,20 +296,10 @@ def eval_full_pipeline(params, dataset, batch_size=16, progress=None,
     root-centered GT :80-86, thresholds 0-50mm :92, subset curve[8:] :99-101).
     Works on STB (paper Figure 9) and RHD evaluation sets.
     """
-    net = ColorHandPose3D()
     cfg = PreprocessConfig(use_wrist_coord=False, render_scoremap=False)
 
-    @jax.jit
-    def step(data):
-        image_scaled = resize_bilinear(data["image"], (240, 320))
-        out = net.inference(params, image_scaled, data["hand_side"])
-        pred = out.keypoint_coord3d * data["keypoint_scale"][:, None, None]
-        gt = data["keypoint_xyz21"] - data["keypoint_xyz21"][:, :1]
-        dists = jnp.linalg.norm(gt - pred, axis=-1)
-        return {"dists": dists, "vis": data["keypoint_vis21"]}
-
     util = EvalUtil()
-    _run(dataset, cfg, batch_size, step,
+    _run(dataset, cfg, batch_size, _step_full_pipeline, params,
          lambda o: util.feed_batch(o["dists"], o["vis"]), progress, mesh)
     mean, median, auc, curve, thr = util.get_measures(0.0, 0.050, 20)
     curve_sub, thr_sub = curve[8:], thr[8:] * 1000.0

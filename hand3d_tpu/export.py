@@ -48,17 +48,9 @@ def export_estimator(params, path=None, *, batch_size=16, input_hw=(240, 320),
     Returns the artifact bytes; also writes them to ``path`` if given.
     """
     from hand3d_tpu.models.cascade import ColorHandPose3D
+    from hand3d_tpu.serving import prepare_params
 
-    assert quantize in (None, "int8"), quantize
-    if quantize == "int8":
-        from hand3d_tpu.ops.quant import quantize_params_int8
-
-        params = quantize_params_int8(params)
-    if phase_pack:
-        from hand3d_tpu.ops.phasepack import phase_pack_params
-
-        params = phase_pack_params(params)
-
+    params = prepare_params(params, quantize, phase_pack)
     net = ColorHandPose3D(compute_dtype=compute_dtype, seg_scale=seg_scale)
     params = jax.tree.map(jnp.asarray, params)
     hand_side = jnp.tile(
@@ -140,25 +132,13 @@ class ExportedEstimator:
     def predict(self, images):
         """Same contract as serving.HandPoseEstimator.predict: [N,H,W,3]
         uint8 / [0,1] float / mean-subtracted float in, dict of numpy out."""
-        from hand3d_tpu.serving import normalize_images
+        from hand3d_tpu.serving import chunked_predict, normalize_images
 
         images = normalize_images(images)
-        n = images.shape[0]
         assert images.shape[1:3] == self.input_hw, (
             f"artifact expects {self.input_hw} input, got {images.shape[1:3]}"
         )
-        pending = []
-        for start in range(0, n, self.batch_size):
-            chunk = images[start : start + self.batch_size]
-            valid = chunk.shape[0]
-            if valid < self.batch_size:
-                pad = np.zeros(
-                    (self.batch_size - valid, *chunk.shape[1:]), chunk.dtype
-                )
-                chunk = np.concatenate([chunk, pad])
-            pending.append((self._fwd(jnp.asarray(chunk)), valid))
-        outs = [
-            {k: np.asarray(v)[:valid] for k, v in out.items()}
-            for out, valid in pending
-        ]
-        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+        return chunked_predict(
+            lambda chunk: self._fwd(jnp.asarray(chunk)),
+            images, self.batch_size,
+        )

@@ -25,19 +25,24 @@ _MIN_SHARD_DIM = 128
 
 
 def init_distributed(coordinator_address=None, num_processes=None,
-                     process_id=None):
+                     process_id=None, auto=False):
     """Multi-host bring-up: call ONCE at program start on every host of a
     multi-host pod/slice before any other jax use, then build meshes over
     the global `jax.devices()` as usual.
 
-    Thin wrapper over jax.distributed.initialize (args auto-detected on
-    Cloud TPU). Returns (process_index, process_count) — feed these (or let
-    it auto-detect) to data.InputPipeline's ``process_shard`` for
-    per-process dataset sharding. No-op on a single process.
+    Thin wrapper over jax.distributed.initialize. Two ways in:
+      * ``init_distributed(auto=True)`` — cluster auto-detection (Cloud
+        TPU metadata, SLURM/OMPI env). Explicit because auto-detection on
+        a plain single machine raises.
+      * explicit ``coordinator_address``/``num_processes``/``process_id``.
+
+    With neither (all defaults) it is a no-op single-process bring-up.
+    Returns (process_index, process_count); the data pipeline picks the
+    same values up automatically for per-process dataset sharding.
     """
-    if num_processes is not None and num_processes > 1 or (
-        coordinator_address is not None
-    ):
+    explicit = (coordinator_address is not None or num_processes is not None
+                or process_id is not None)
+    if auto or explicit:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

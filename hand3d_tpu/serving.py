@@ -19,6 +19,48 @@ from hand3d_tpu.models.cascade import ColorHandPose3D
 from hand3d_tpu.weights import load_npz
 
 
+def prepare_params(params, quantize=None, phase_pack=False):
+    """Apply the optional inference-time param transforms (shared by the
+    live estimator and the AOT exporter)."""
+    assert quantize in (None, "int8"), quantize
+    if quantize == "int8":
+        from hand3d_tpu.ops.quant import quantize_params_int8
+
+        params = quantize_params_int8(params)
+    if phase_pack:
+        from hand3d_tpu.ops.phasepack import phase_pack_params
+
+        params = phase_pack_params(params)
+    return params
+
+
+def chunked_predict(run_chunk, images, batch_size):
+    """Shared batched-predict contract: chunk ``images`` into fixed-size
+    batches (zero-padding the last), dispatch EVERY chunk before fetching
+    any result (jax dispatch is async, so chunk i's device compute overlaps
+    chunk i+1's host-side padding/transfer), then trim and concatenate.
+
+    ``run_chunk(padded_chunk) -> dict of device arrays``."""
+    n = images.shape[0]
+    if n == 0:
+        raise ValueError("predict() needs at least one image")
+    pending = []
+    for start in range(0, n, batch_size):
+        chunk = images[start : start + batch_size]
+        valid = chunk.shape[0]
+        if valid < batch_size:
+            pad = np.zeros(
+                (batch_size - valid, *chunk.shape[1:]), chunk.dtype
+            )
+            chunk = np.concatenate([chunk, pad])
+        pending.append((run_chunk(chunk), valid))
+    outs = [
+        {k: np.asarray(v)[:valid] for k, v in out.items()}
+        for out, valid in pending
+    ]
+    return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+
 def normalize_images(images):
     """[N,H,W,3] uint8 in [0,255] / float in [0,1] / mean-subtracted float
     -> mean-subtracted float32 (the cascade's input convention)."""
@@ -53,15 +95,7 @@ class HandPoseEstimator:
         input width (round(input width x seg_scale) — all stock resolutions
         are), and combining with seg_scale < 1 measured a batch-1 latency
         REGRESSION (DESIGN.md) — pick one lever or the other."""
-        assert quantize in (None, "int8"), quantize
-        if quantize == "int8":
-            from hand3d_tpu.ops.quant import quantize_params_int8
-
-            params = quantize_params_int8(params)
-        if phase_pack:
-            from hand3d_tpu.ops.phasepack import phase_pack_params
-
-            params = phase_pack_params(params)
+        params = prepare_params(params, quantize, phase_pack)
         self.net = ColorHandPose3D(compute_dtype=compute_dtype,
                                    seg_scale=seg_scale)
         self.batch_size = batch_size
@@ -127,31 +161,16 @@ class HandPoseEstimator:
             images = normalize_images(images)
         else:
             images = np.asarray(images)
-        n = images.shape[0]
         assert images.shape[1:3] == self.input_hw, (
             f"expected {self.input_hw} input, got {images.shape[1:3]}; "
             "resize on the client or build a second estimator bucket"
         )
-
-        # dispatch every chunk before fetching any result: jax dispatch is
-        # async, so device compute of chunk i overlaps the host-side padding
-        # + transfer of chunk i+1 and the fetch of chunk i-1
-        pending = []
-        for start in range(0, n, self.batch_size):
-            chunk = images[start : start + self.batch_size]
-            valid = chunk.shape[0]
-            if valid < self.batch_size:
-                pad = np.zeros(
-                    (self.batch_size - valid, *chunk.shape[1:]), chunk.dtype
-                )
-                chunk = np.concatenate([chunk, pad])
-            out = self._fwd(self.params, self._to_device(chunk), self.hand_side)
-            pending.append((out, valid))
-        outs = [
-            {k: np.asarray(v)[:valid] for k, v in out.items()}
-            for out, valid in pending
-        ]
-        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+        return chunked_predict(
+            lambda chunk: self._fwd(
+                self.params, self._to_device(chunk), self.hand_side
+            ),
+            images, self.batch_size,
+        )
 
 
 class AutoBucketEstimator:
@@ -161,9 +180,10 @@ class AutoBucketEstimator:
     Each distinct resolution costs one compile on first sight (XLA programs
     are shape-static); ``max_buckets`` bounds that. With ``snap_hws`` the
     input is first bilinearly resized (on host, cheap vs a new compile) to
-    the nearest configured bucket — predictions' uv coordinates are then
-    mapped back to the caller's frame, so outputs always live in the input
-    resolution.
+    the nearest configured bucket — keypoint_uv21 and center are then
+    mapped back to the caller's frame. hand_scoremap and scale_crop remain
+    in the bucket's frame (a scalar crop scale cannot survive an
+    anisotropic resize); the ``snap_hw`` output records that frame.
 
     All other constructor kwargs pass through to HandPoseEstimator.
     """
@@ -223,10 +243,14 @@ class AutoBucketEstimator:
             ))
         out = self._bucket(target).predict(images, normalized=True)
         if target != hw:
-            # uv back to the caller's frame (scoremap stays bucket-sized —
-            # resolution-dependent by definition, documented as such)
-            scale = np.asarray(
+            # pixel-space outputs back to the caller's frame: keypoint_uv21
+            # (u, v) and center (row, col). hand_scoremap and scale_crop
+            # stay in the bucket frame — a scalar crop scale cannot survive
+            # an anisotropic resize — so snap_hw records that frame.
+            scale_uv = np.asarray(
                 [hw[1] / target[1], hw[0] / target[0]], np.float32
             )
-            out["keypoint_uv21"] = out["keypoint_uv21"] * scale
+            out["keypoint_uv21"] = out["keypoint_uv21"] * scale_uv
+            out["center"] = out["center"] * scale_uv[::-1]
+        out["snap_hw"] = np.asarray(target, np.int32)
         return out

@@ -8,6 +8,7 @@ with one driver that any stage reuses. Differences by design:
   * snapshots keep optimizer state and support exact resume.
 """
 
+import contextlib
 import os
 import sys
 import threading
@@ -49,9 +50,23 @@ class _Watchdog:
     def stop(self):
         self._stopped = True
 
+    @contextlib.contextmanager
+    def suspended(self):
+        """Pause hang detection for a legitimately long operation (e.g. an
+        in-training eval pass, which can exceed any sane step timeout);
+        the clock restarts from the moment the operation finishes."""
+        self._suspended = True
+        try:
+            yield
+        finally:
+            self.beat()
+            self._suspended = False
+
     def _watch(self):
         while not self._stopped:
             time.sleep(min(self.timeout / 4.0, 5.0))
+            if getattr(self, "_suspended", False):
+                continue
             stale = time.monotonic() - self._last
             if not self._stopped and stale > self.timeout:
                 self.log(
@@ -141,9 +156,15 @@ def _run_loop(state, step_fn, it, base_key, start_step, max_iter, progress,
               watchdog, show_loss_freq, snapshot_freq, snapshot_dir,
               metrics_logger, log, t0, eval_fn=None, eval_freq=0):
     def run_eval(state, step):
-        results = {
-            k: float(v) for k, v in eval_fn(state, step).items()
-        }
+        # an eval pass (compile + a bounded dataset sweep) legitimately
+        # exceeds step-scale timeouts — keep the hang watchdog out of it
+        ctx = watchdog.suspended() if watchdog is not None else (
+            contextlib.nullcontext()
+        )
+        with ctx:
+            results = {
+                k: float(v) for k, v in eval_fn(state, step).items()
+            }
         line = "  ".join(f"{k} {v:.4g}" for k, v in results.items())
         log(f"Eval @ {step}\t {line}")
         if metrics_logger is not None:

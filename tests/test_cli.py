@@ -270,6 +270,10 @@ def test_auto_bucket_snap_maps_uv_back():
     img = (rng.rand(1, 100, 140, 3) * 255).astype(np.uint8)
     out = auto.predict(img)
     assert list(auto._buckets) == [(120, 160)]
+    # the snapped bucket frame is reported; uv/center live in the caller's
+    # frame (scale_crop/hand_scoremap stay in snap_hw's, as documented)
+    np.testing.assert_array_equal(out["snap_hw"], [120, 160])
+    assert out["center"].shape == (1, 2)
     # uv back in the caller's 100x140 frame
     assert out["keypoint_uv21"].shape == (1, 21, 2)
     u, v = out["keypoint_uv21"][0, :, 0], out["keypoint_uv21"][0, :, 1]
@@ -291,3 +295,12 @@ def test_auto_bucket_snap_maps_uv_back():
         want["keypoint_uv21"] * np.asarray([140 / 160, 100 / 120]),
         atol=1e-5,
     )
+
+
+def test_predict_empty_batch_raises():
+    from hand3d_tpu.serving import chunked_predict
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one image"):
+        chunked_predict(lambda c: {}, np.zeros((0, 8, 8, 3), np.float32), 2)

@@ -339,3 +339,30 @@ def test_pipeline_process_sharding(rhd_left):
     big = InputPipeline(rhd_left, cfg, batch_size=3, process_shard=(0, 2))
     with pytest.raises(ValueError, match="shard"):
         big.steps_per_epoch()
+
+
+def test_process_shards_equal_length_with_uneven_dataset():
+    """7 records over 2 processes: both shards truncate to 3 so step counts
+    agree across hosts (a 4-vs-3 skew would hang lock-step collectives)."""
+    from hand3d_tpu.data.pipeline import epoch_indices
+
+    s0 = epoch_indices(7, 1, shuffle=True, seed=9, process_shard=(0, 2))
+    s1 = epoch_indices(7, 1, shuffle=True, seed=9, process_shard=(1, 2))
+    assert s0.shape == s1.shape == (3, 1)
+    assert set(s0.ravel()) & set(s1.ravel()) == set()
+
+
+def test_multihost_without_sharding_rejected(rhd_left, monkeypatch):
+    """Auto process-sharding without global-array assembly would silently
+    train divergent per-host models — must raise."""
+    import jax as jax_mod
+    import pytest
+
+    monkeypatch.setattr(jax_mod, "process_count", lambda: 2)
+    monkeypatch.setattr(jax_mod, "process_index", lambda: 0)
+    cfg = PreprocessConfig(hand_crop=True)
+    with pytest.raises(ValueError, match="sharding"):
+        InputPipeline(rhd_left, cfg, batch_size=1)
+    # explicit opt-in still allowed
+    pipe = InputPipeline(rhd_left, cfg, batch_size=1, process_shard=(0, 2))
+    assert pipe.steps_per_epoch() == 2

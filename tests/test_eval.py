@@ -150,3 +150,24 @@ def test_eval3d_from_posenet_harness(rhd):
     # max_batches bounds the pass: 1 batch of 2 from the 5-record set
     full = eval3d_from_posenet("proposed", params, rhd, batch_size=2)
     assert full["pck_curve"].shape == m["pck_curve"].shape
+
+
+def test_harness_reuses_compiled_step_across_calls(rhd):
+    """Periodic in-training evals must not re-trace/re-compile: the fused
+    (params, raw) step is cached by (harness, config), and new params with
+    the same shapes hit the jit cache."""
+    from hand3d_tpu.eval import harnesses as H
+
+    net = PosePriorNetwork("direct")
+    p1 = net.init(jax.random.PRNGKey(0))
+    p2 = net.init(jax.random.PRNGKey(1))
+    before = len(H._FUSED_CACHE)
+    m1 = eval3d_lifting("direct", p1, rhd, batch_size=2, max_batches=1)
+    step_fn = H._variant_step(H._step_lifting, "direct")
+    fused = next(H._FUSED_CACHE[k] for k in H._FUSED_CACHE
+                 if k[1] is step_fn)
+    n_compiles = fused._cache_size()
+    m2 = eval3d_lifting("direct", p2, rhd, batch_size=2, max_batches=1)
+    assert len(H._FUSED_CACHE) == before + 1  # one cached wrapper
+    assert fused._cache_size() == n_compiles  # no new trace/compile
+    assert m1["epe_mean_mm"] != m2["epe_mean_mm"]  # params actually differ

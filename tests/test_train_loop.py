@@ -335,3 +335,47 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state),
                     jax.tree_util.tree_leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_step_watchdog_suspended_during_eval(tmp_path):
+    """An in-training eval longer than step_timeout must NOT trip the hang
+    watchdog (it is suspended for the eval and re-armed after)."""
+    import subprocess
+    import sys
+
+    script = tmp_path / "slow_eval.py"
+    script.write_text(
+        """
+import time
+import jax
+import jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+import optax
+from hand3d_tpu.train.loop import fit
+
+class Pipeline:
+    def iterate(self, epochs=None):
+        while True:
+            yield {"x": jnp.ones((1,))}
+
+def loss_fn(params, batch, key):
+    return jnp.sum(params["w"] * batch["x"]) * 1e-3
+
+def eval_fn(state, step):
+    time.sleep(3.0)  # longer than step_timeout
+    return {"metric": 1.0}
+
+fit(loss_fn, {"w": jnp.ones((1,))}, optax.sgd(0.1), Pipeline(),
+    max_iter=4, show_loss_freq=0, snapshot_freq=0, step_timeout=1.5,
+    eval_fn=eval_fn, eval_freq=2)
+print("COMPLETED-OK")
+"""
+    )
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo_root)
+    proc = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True,
+        timeout=120, cwd=repo_root, env=env,
+    )
+    assert proc.returncode == 0, (proc.returncode, proc.stderr[-500:])
+    assert "COMPLETED-OK" in proc.stdout
