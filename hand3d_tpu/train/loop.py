@@ -101,6 +101,7 @@ def fit(
     accum_steps=1,
     eval_fn=None,
     eval_freq=0,
+    snapshot_on_sigterm=True,
 ):
     """Train ``params`` with ``loss_fn(params, batch, key)``.
 
@@ -113,6 +114,11 @@ def fit(
     ``eval_freq`` steps (and after the final step); its metrics go to
     ``log`` and the metrics logger (step + eval_* keys). The reference had
     no in-training validation at all — separate eval scripts only.
+    ``snapshot_on_sigterm``: preemption safety — on SIGTERM/SIGINT (spot
+    VM reclaim, TPU maintenance, ^C) finish nothing further, save the
+    current state into ``snapshot_dir``, and return, so a restart with
+    ``--resume`` loses at most the in-flight step. Only active when
+    fit() runs on the main thread (signal API restriction).
     """
     state = init_state(params, optimizer)
     start_step = 0
@@ -132,6 +138,22 @@ def fit(
                               accum_steps=accum_steps)
     base_key = jax.random.PRNGKey(seed)
 
+    preempt = {"signal": None}
+    old_handlers = {}
+    if snapshot_on_sigterm and snapshot_dir and (
+        threading.current_thread() is threading.main_thread()
+    ):
+        import signal as signal_mod
+
+        def _on_signal(signum, frame):
+            preempt["signal"] = signum
+            # restore the previous handler so a SECOND signal acts
+            # immediately (e.g. ^C ^C force-kills a hung save)
+            signal_mod.signal(signum, old_handlers[signum])
+
+        for sig in (signal_mod.SIGTERM, signal_mod.SIGINT):
+            old_handlers[sig] = signal_mod.signal(sig, _on_signal)
+
     progress = {"iter": start_step}
     watchdog = (
         _Watchdog(step_timeout, progress, log) if step_timeout else None
@@ -142,19 +164,25 @@ def fit(
         state = _run_loop(
             state, step_fn, it, base_key, start_step, max_iter, progress,
             watchdog, show_loss_freq, snapshot_freq, snapshot_dir,
-            metrics_logger, log, t0, eval_fn, eval_freq,
+            metrics_logger, log, t0, eval_fn, eval_freq, preempt,
         )
     finally:
         # disarm even on exceptions a caller may catch — otherwise whatever
         # runs after fit() (eval, export, another fit) is killed later
         if watchdog is not None:
             watchdog.stop()
+        if old_handlers:
+            import signal as signal_mod
+
+            for sig, handler in old_handlers.items():
+                signal_mod.signal(sig, handler)
     return state
 
 
 def _run_loop(state, step_fn, it, base_key, start_step, max_iter, progress,
               watchdog, show_loss_freq, snapshot_freq, snapshot_dir,
-              metrics_logger, log, t0, eval_fn=None, eval_freq=0):
+              metrics_logger, log, t0, eval_fn=None, eval_freq=0,
+              preempt=None):
     def run_eval(state, step):
         # an eval pass (compile + a bounded dataset sweep) legitimately
         # exceeds step-scale timeouts — keep the hang watchdog out of it
@@ -174,6 +202,14 @@ def _run_loop(state, step_fn, it, base_key, start_step, max_iter, progress,
 
     pending_loss = None  # previous step's loss, fetched one step behind
     for i in range(start_step, max_iter):
+        if preempt is not None and preempt["signal"] is not None:
+            # preemption (SIGTERM/SIGINT): persist and stop — a restart
+            # with --resume continues from here
+            log(f"signal {preempt['signal']}: saving snapshot at "
+                f"iteration {i} and stopping")
+            if snapshot_dir:
+                checkpoints.save_snapshot(snapshot_dir, state, step=i)
+            return state
         progress["iter"] = i
         batch = next(it)
         key = jax.random.fold_in(base_key, i)

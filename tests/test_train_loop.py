@@ -379,3 +379,54 @@ print("COMPLETED-OK")
     )
     assert proc.returncode == 0, (proc.returncode, proc.stderr[-500:])
     assert "COMPLETED-OK" in proc.stdout
+
+
+def test_sigterm_snapshots_and_stops(tmp_path):
+    """Preemption safety: SIGTERM mid-training saves a snapshot and exits
+    cleanly; --resume picks up from it."""
+    import signal
+    import subprocess
+    import sys
+    import time as time_mod
+
+    snap_dir = tmp_path / "snaps"
+    script = tmp_path / "train.py"
+    script.write_text(
+        f"""
+import jax
+import jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+import optax
+from hand3d_tpu.train.loop import fit
+
+class Pipeline:
+    def iterate(self, epochs=None):
+        import time
+        while True:
+            time.sleep(0.05)
+            yield {{"x": jnp.ones((1,))}}
+
+def loss_fn(params, batch, key):
+    return jnp.sum(params["w"] * batch["x"]) * 1e-3
+
+print("READY", flush=True)
+state = fit(loss_fn, {{"w": jnp.ones((1,))}}, optax.sgd(0.1), Pipeline(),
+            max_iter=100000, show_loss_freq=0, snapshot_freq=0,
+            snapshot_dir={str(snap_dir)!r})
+print("RETURNED-STEP", int(state.step), flush=True)
+"""
+    )
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo_root)
+    proc = subprocess.Popen(
+        [sys.executable, str(script)], stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True, cwd=repo_root, env=env,
+    )
+    assert "READY" in proc.stdout.readline()
+    time_mod.sleep(3.0)  # let a few steps run
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=120)
+    assert proc.returncode == 0, (proc.returncode, out[-500:])
+    assert "saving snapshot" in out and "RETURNED-STEP" in out
+    snaps = sorted_snapshots(str(snap_dir))
+    assert snaps, out[-500:]
