@@ -1,0 +1,142 @@
+"""Minimal HTTP inference server for the hand-pose cascade (stdlib only).
+
+Completes the deployment story: the same predictions served three ways —
+in-process (`HandPoseEstimator`), AOT artifact (`ExportedEstimator`), and
+over HTTP (this CLI, fronting either of the two).
+
+    # from converted weights
+    python -m hand3d_tpu.cli.serve --weights weights.npz --port 8000
+    # or from an AOT export artifact (no weight file needed)
+    python -m hand3d_tpu.cli.serve --artifact cascade.h3dx --port 8000
+
+    curl -X POST --data-binary @hand.png localhost:8000/predict
+    curl localhost:8000/healthz
+
+`POST /predict` takes a PNG/JPEG body (any resolution — resized to the
+serving bucket on host) and returns JSON: keypoint_uv21 (input-frame
+pixels), keypoint_coord3d (root-relative, bone-normalized), center,
+scale_crop. `GET /healthz` reports readiness + configuration. Requests are
+serialized through the single compiled program (device batching belongs in
+front of this, or raise --batch-size and send .npy stacks).
+"""
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def _decode_body(body, content_type):
+    if content_type == "application/x-npy":
+        arr = np.load(io.BytesIO(body), allow_pickle=False)
+        if arr.ndim == 3:
+            arr = arr[None]
+        return arr
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(body)).convert("RGB")
+    return np.asarray(img, np.uint8)[None]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "hand3d-tpu"
+
+    def _json(self, code, payload):
+        body = json.dumps(payload).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path != "/healthz":
+            return self._json(404, {"error": "unknown path"})
+        return self._json(200, {"status": "ok", **self.server.meta})
+
+    def do_POST(self):
+        if self.path != "/predict":
+            return self._json(404, {"error": "unknown path"})
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            images = _decode_body(
+                self.rfile.read(length),
+                self.headers.get("Content-Type", ""),
+            )
+            with self.server.lock:
+                out = self.server.predict(images)
+            return self._json(200, {
+                "keypoint_uv21": np.asarray(out["keypoint_uv21"]).tolist(),
+                "keypoint_coord3d":
+                    np.asarray(out["keypoint_coord3d"]).tolist(),
+                "center": np.asarray(out["center"]).tolist(),
+                "scale_crop": np.asarray(out["scale_crop"]).reshape(
+                    len(images)).tolist(),
+            })
+        except Exception as e:  # surface the cause to the client
+            return self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+    def log_message(self, fmt, *args):  # route through one logger
+        print(f"[serve] {self.address_string()} {fmt % args}", flush=True)
+
+
+def make_server(predict, meta, host="127.0.0.1", port=8000):
+    srv = ThreadingHTTPServer((host, port), _Handler)
+    srv.predict = predict
+    srv.meta = meta
+    srv.lock = threading.Lock()
+    return srv
+
+
+def build_predict(args):
+    """Returns (predict(images)->dict, meta) from --weights or --artifact."""
+    if args.artifact:
+        from hand3d_tpu.export import ExportedEstimator
+
+        est = ExportedEstimator.load(args.artifact).warmup()
+        return est.predict, {"source": "artifact", **est.meta}
+    from hand3d_tpu.serving import AutoBucketEstimator
+    from hand3d_tpu.weights import load_npz
+
+    est = AutoBucketEstimator(
+        load_npz(args.weights), batch_size=args.batch_size,
+        snap_hws=[tuple(args.input_hw)], quantize=args.quantize,
+        seg_scale=args.seg_scale,
+    )
+    meta = {"source": "weights", "batch_size": args.batch_size,
+            "input_hw": list(args.input_hw), "quantize": args.quantize,
+            "seg_scale": args.seg_scale}
+    return est.predict, meta
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--weights", help="npz param tree")
+    src.add_argument("--artifact", help="AOT export artifact (.h3dx)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--input-hw", type=int, nargs=2, default=[240, 320],
+                   help="serving bucket; inputs snap to it on host")
+    p.add_argument("--quantize", default=None, choices=[None, "int8"])
+    p.add_argument("--seg-scale", type=float, default=1.0)
+    args = p.parse_args(argv)
+
+    predict, meta = build_predict(args)
+    srv = make_server(predict, meta, args.host, args.port)
+    print(f"serving on http://{args.host}:{srv.server_address[1]} "
+          f"({meta})", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+
+
+if __name__ == "__main__":
+    main()

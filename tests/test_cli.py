@@ -304,3 +304,54 @@ def test_predict_empty_batch_raises():
 
     with pytest.raises(ValueError, match="at least one image"):
         chunked_predict(lambda c: {}, np.zeros((0, 8, 8, 3), np.float32), 2)
+
+
+def test_http_serve_endpoint(tmp_path):
+    """POST an image to the HTTP server; JSON keypoints come back in the
+    caller's frame. /healthz reports config; bad input -> 400."""
+    import http.client
+    import io
+    import json
+    import threading
+
+    from PIL import Image
+
+    from hand3d_tpu.cli import serve
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+    from hand3d_tpu.serving import AutoBucketEstimator
+
+    params = ColorHandPose3D().init(jax.random.PRNGKey(0))
+    est = AutoBucketEstimator(params, batch_size=1, snap_hws=[(120, 160)])
+    srv = serve.make_server(est.predict, {"source": "test"}, port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        buf = io.BytesIO()
+        rng = np.random.RandomState(0)
+        Image.fromarray(
+            (rng.rand(100, 140, 3) * 255).astype(np.uint8)
+        ).save(buf, format="PNG")
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["status"] == "ok" and health["source"] == "test"
+
+        conn.request("POST", "/predict", body=buf.getvalue(),
+                     headers={"Content-Type": "image/png"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        out = json.loads(resp.read())
+        uv = np.asarray(out["keypoint_uv21"])
+        assert uv.shape == (1, 21, 2)
+        assert np.asarray(out["keypoint_coord3d"]).shape == (1, 21, 3)
+        # uv in the caller's 100x140 frame
+        assert (uv[..., 0] <= 140).all() and (uv[..., 1] <= 100).all()
+
+        conn.request("POST", "/predict", body=b"not-an-image",
+                     headers={"Content-Type": "image/png"})
+        assert conn.getresponse().status == 400
+    finally:
+        srv.shutdown()
+        srv.server_close()
