@@ -16,7 +16,6 @@ import numpy as np
 
 from hand3d_tpu.data.preprocess import preprocess_rhd, preprocess_stb
 from hand3d_tpu.data.rhd import RHDDataset
-from hand3d_tpu.data.stb import STBDataset
 
 
 def epoch_indices(num_samples, batch_size, shuffle, seed, drop_remainder=True,

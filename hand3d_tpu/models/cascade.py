@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from hand3d_tpu.models import handsegnet, posenet, poseprior
 from hand3d_tpu.ops.image import crop_image_from_xy, resize_bilinear
-from hand3d_tpu.ops.keypoints import decode_upsampled, detect_keypoints_2d, trafo_coords
+from hand3d_tpu.ops.keypoints import decode_upsampled, trafo_coords
 from hand3d_tpu.ops.segmentation import calc_center_bb, single_obj_scoremap
 
 CROP_SIZE = 256  # ColorHandPose3DNetwork.py:31

@@ -90,8 +90,6 @@ def test_trafo_coords():
 def test_single_obj_scoremap_pallas_matches_xla(rng):
     """The Pallas flood-fill kernel (interpreter mode on CPU) must agree
     with the XLA reduce_window formulation on random multi-blob masks."""
-    import jax.numpy as jnp2
-
     logits = _two_blob_logits()
     logits[0, 12, 16:40, 1] = 10.0  # bridge
     for lg in (logits, _two_blob_logits()):

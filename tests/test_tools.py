@@ -160,3 +160,43 @@ def test_bench_input_smoke(tmp_path):
     out = json.loads(proc.stdout.splitlines()[-1])
     assert out["memmap_rec_s"] > 0
     assert "memmap_headroom_x" in out
+
+
+def test_average_params_npz_and_snapshots(tmp_path):
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    sys.path.insert(0, "tools")
+    try:
+        import average_params
+    finally:
+        sys.path.pop(0)
+
+    from hand3d_tpu.train.checkpoints import save_snapshot
+    from hand3d_tpu.train.trainer import init_state
+    from hand3d_tpu.weights import load_npz, save_npz
+
+    t1 = {"net": {"w": np.full((2, 2), 1.0, np.float32)}}
+    t2 = {"net": {"w": np.full((2, 2), 3.0, np.float32)}}
+    a, b = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    save_npz(a, t1)
+    save_npz(b, t2)
+    out = str(tmp_path / "avg.npz")
+    average_params.main([a, b, "--out", out])
+    got = load_npz(out)
+    np.testing.assert_allclose(got["net"]["w"], 2.0)
+
+    # snapshot tail-averaging
+    opt = optax.sgd(0.1)
+    snap_dir = str(tmp_path / "snaps")
+    for i, v in enumerate([1.0, 2.0, 6.0]):
+        state = init_state({"net": {"w": jnp.full((2, 2), v)}}, opt)
+        save_snapshot(snap_dir, state, step=i, keep=10)
+    out2 = str(tmp_path / "soup.npz")
+    average_params.main(["--snapshots", snap_dir, "--last", "3",
+                         "--out", out2])
+    got2 = load_npz(out2)
+    np.testing.assert_allclose(got2["net"]["w"], 3.0)

@@ -430,3 +430,32 @@ print("RETURNED-STEP", int(state.step), flush=True)
     assert "saving snapshot" in out and "RETURNED-STEP" in out
     snaps = sorted_snapshots(str(snap_dir))
     assert snaps, out[-500:]
+
+
+def test_training_is_deterministic(tmp_path):
+    """Same seed + data -> bitwise-identical params after fit() (explicit
+    keyed RNG everywhere; no hidden stateful randomness)."""
+    import jax.numpy as jnp
+
+    dataset = _dataset(tmp_path)
+    cfg = PreprocessConfig(hand_crop=True, use_wrist_coord=False,
+                           crop_size=32, coord_uv_noise=True)
+
+    def run():
+        pipeline = InputPipeline(dataset, cfg, batch_size=2, seed=5)
+        params = {posenet.SCOPE: posenet.init(jax.random.PRNGKey(5))}
+
+        def loss_fn(p, batch, key):
+            preds = posenet.apply(p[posenet.SCOPE], batch["image_crop"])
+            return posenet_scoremap_loss(preds, batch["scoremap"],
+                                         batch["keypoint_vis21"])
+
+        state = fit(loss_fn, params, make_optimizer([1e-4, 1e-5], [10]),
+                    pipeline, max_iter=3, seed=5, show_loss_freq=0,
+                    snapshot_freq=0)
+        return state.params
+
+    p1, p2 = run(), run()
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
