@@ -16,7 +16,7 @@ from hand3d_tpu.cli._common import (
     progress_printer,
 )
 from hand3d_tpu.data.rhd import RHDDataset
-from hand3d_tpu.eval.harnesses import eval3d_lifting
+from hand3d_tpu.eval.harnesses import eval3d_from_posenet, eval3d_lifting
 from hand3d_tpu.models.poseprior import VARIANTS, PosePriorNetwork
 
 
@@ -25,17 +25,46 @@ def main():
     add_weights_arg(p)
     p.add_argument("--variant", choices=VARIANTS, default="proposed")
     p.add_argument("--data", default=None, help="Path to rhd_evaluation.bin")
+    p.add_argument("--from-posenet", action="store_true",
+                   help="lift from PoseNet's PREDICTED scoremaps on GT "
+                        "crops instead of GT scoremaps (no reference "
+                        "analog; evaluates the 2D->3D hand-off that "
+                        "train_joint fine-tunes — weights must include "
+                        "the PoseNet2D scope)")
     add_mesh_arg(p)
     add_quantize_arg(p)
     args = p.parse_args()
 
     dataset = RHDDataset("evaluation", path=args.data)
     net = PosePriorNetwork(args.variant)
-    params = maybe_quantize(init_or_load(net, args.seed, args.weights), args)
-    metrics = eval3d_lifting(
-        args.variant, params, dataset, args.batch_size, mesh=build_mesh(args.mesh),
-        progress=progress_printer(len(dataset), args.batch_size),
-    )
+    if args.from_posenet:
+        import jax
+
+        from hand3d_tpu.cli._common import load_weight_trees
+        from hand3d_tpu.models import posenet
+
+        params = {posenet.SCOPE: posenet.init(jax.random.PRNGKey(args.seed))}
+        params.update(net.init(jax.random.PRNGKey(args.seed + 1)))
+        if args.weights:
+            loaded = load_weight_trees(args.weights)
+            for scope in params:
+                if scope in loaded:
+                    params[scope].update(loaded[scope])
+        params = maybe_quantize(params, args)
+        metrics = eval3d_from_posenet(
+            args.variant, params, dataset, args.batch_size,
+            mesh=build_mesh(args.mesh),
+            progress=progress_printer(len(dataset), args.batch_size),
+        )
+    else:
+        params = maybe_quantize(
+            init_or_load(net, args.seed, args.weights), args
+        )
+        metrics = eval3d_lifting(
+            args.variant, params, dataset, args.batch_size,
+            mesh=build_mesh(args.mesh),
+            progress=progress_printer(len(dataset), args.batch_size),
+        )
     print("Evaluation results for %s:" % args.variant)
     print("Average mean EPE: %.3f mm" % metrics["epe_mean_mm"])
     print("Average median EPE: %.3f mm" % metrics["epe_median_mm"])

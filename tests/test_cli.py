@@ -355,3 +355,15 @@ def test_http_serve_endpoint(tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_cli_eval3d_from_posenet(rhd_bin, monkeypatch, capsys):
+    from hand3d_tpu.cli import eval3d as cli
+
+    _run_main(
+        cli,
+        ["--data", rhd_bin, "--batch-size", "2", "--variant", "proposed",
+         "--from-posenet"],
+        monkeypatch,
+    )
+    assert "Average mean EPE" in capsys.readouterr().out
