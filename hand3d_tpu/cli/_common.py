@@ -56,9 +56,12 @@ def base_parser(description):
 
 def add_memory_args(p):
     """Activation-memory levers shared by the training CLIs."""
-    p.add_argument("--remat", action="store_true",
+    p.add_argument("--remat", nargs="?", const=True, default=False,
                    help="jax.checkpoint the loss: recompute activations in "
-                        "the backward pass instead of storing them")
+                        "the backward pass instead of storing them. Takes "
+                        "an optional jax.checkpoint_policies name (e.g. "
+                        "--remat dots_saveable keeps conv/matmul outputs "
+                        "and only recomputes elementwise work)")
     p.add_argument("--accum-steps", type=int, default=1,
                    help="Gradient accumulation: split the batch into this "
                         "many microbatches, average their grads, apply one "

@@ -67,6 +67,11 @@ def make_train_step(loss_fn, optimizer, mesh=None, donate=True, remat=False,
     batch is expected sharded over the "data" axis; otherwise single-device.
     ``remat=True`` wraps the loss in jax.checkpoint, trading recompute for
     activation memory (useful for large batches/resolutions on one chip).
+    ``remat`` may also name a jax.checkpoint_policies policy (e.g.
+    "dots_saveable" / "nothing_saveable" / "everything_saveable") for a
+    finer recompute/memory trade: dots_saveable keeps matmul/conv outputs
+    (MXU work is never recomputed, elementwise is), nothing_saveable
+    recomputes everything.
 
     ``accum_steps > 1`` enables gradient accumulation: the batch's leading
     axis is split into ``accum_steps`` equal microbatches, gradients of the
@@ -80,7 +85,14 @@ def make_train_step(loss_fn, optimizer, mesh=None, donate=True, remat=False,
     fold of the step RNG key (dropout/aug noise stay i.i.d. per sample).
     """
     if remat:
-        loss_fn = jax.checkpoint(loss_fn)
+        if isinstance(remat, str):
+            policy = getattr(jax.checkpoint_policies, remat, None)
+            assert policy is not None, (
+                f"unknown remat policy {remat!r}; see jax.checkpoint_policies"
+            )
+            loss_fn = jax.checkpoint(loss_fn, policy=policy)
+        else:
+            loss_fn = jax.checkpoint(loss_fn)
 
     def grads_of(params, batch, key):
         if accum_steps == 1:

@@ -459,3 +459,33 @@ def test_training_is_deterministic(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_remat_policy_matches_plain_step():
+    """remat='dots_saveable' (keep MXU outputs, recompute elementwise) must
+    produce the same update as no remat; unknown policy names fail loudly."""
+    import jax.numpy as jnp
+    import optax
+    import pytest
+    from hand3d_tpu.train.trainer import make_train_step
+
+    rng = np.random.RandomState(0)
+    params = {"w": jnp.asarray(rng.randn(4, 3), jnp.float32)}
+    batch = {"x": jnp.asarray(rng.randn(6, 3), jnp.float32),
+             "y": jnp.asarray(rng.randn(6, 4), jnp.float32)}
+
+    def loss_fn(p, b, key):
+        return jnp.mean((jnp.tanh(b["x"] @ p["w"].T) - b["y"]) ** 2)
+
+    opt = optax.adam(1e-2)
+    key = jax.random.PRNGKey(0)
+
+    def run(**kw):
+        state = init_state(params, opt)
+        new, _ = make_train_step(loss_fn, opt, donate=False, **kw)(
+            state, batch, key)
+        return np.asarray(new.params["w"])
+
+    np.testing.assert_allclose(run(remat="dots_saveable"), run(), atol=1e-6)
+    with pytest.raises(AssertionError, match="unknown remat policy"):
+        run(remat="not_a_policy")
