@@ -83,11 +83,27 @@ class _Handler(BaseHTTPRequestHandler):
         print(f"[serve] {self.address_string()} {fmt % args}", flush=True)
 
 
-def make_server(predict, meta, host="127.0.0.1", port=8000):
+class _PredictWrapper:
+    """Adapt a bare predict callable to the estimator interface
+    DynamicBatcher wraps (a .predict(images, normalized=) method)."""
+
+    def __init__(self, predict):
+        self._predict = predict
+
+    def predict(self, images, normalized=False):
+        return self._predict(images, normalized=normalized)
+
+
+def make_server(predict, meta, host="127.0.0.1", port=8000, serialize=True):
+    """``serialize=False`` lets handler threads call ``predict``
+    concurrently — required for DynamicBatcher to see concurrent requests
+    (its own queue provides the thread safety)."""
+    import contextlib
+
     srv = ThreadingHTTPServer((host, port), _Handler)
     srv.predict = predict
     srv.meta = meta
-    srv.lock = threading.Lock()
+    srv.lock = threading.Lock() if serialize else contextlib.nullcontext()
     return srv
 
 
@@ -124,10 +140,25 @@ def main(argv=None):
                    help="serving bucket; inputs snap to it on host")
     p.add_argument("--quantize", default=None, choices=[None, "int8"])
     p.add_argument("--seg-scale", type=float, default=1.0)
+    p.add_argument("--dynamic-batch", type=float, default=None,
+                   metavar="WAIT_MS",
+                   help="coalesce concurrent requests into one device "
+                        "batch of up to --batch-size images, waiting at "
+                        "most WAIT_MS for stragglers (serving.DynamicBatcher)")
     args = p.parse_args(argv)
 
     predict, meta = build_predict(args)
-    srv = make_server(predict, meta, args.host, args.port)
+    if args.dynamic_batch is not None:
+        from hand3d_tpu.serving import DynamicBatcher
+
+        batcher = DynamicBatcher(
+            _PredictWrapper(predict), max_batch=args.batch_size,
+            max_wait_ms=args.dynamic_batch,
+        )
+        predict = batcher.predict
+        meta = {**meta, "dynamic_batch_ms": args.dynamic_batch}
+    srv = make_server(predict, meta, args.host, args.port,
+                      serialize=args.dynamic_batch is None)
     print(f"serving on http://{args.host}:{srv.server_address[1]} "
           f"({meta})", flush=True)
     try:

@@ -129,12 +129,13 @@ class ExportedEstimator:
         jax.block_until_ready(self._fwd(dummy))
         return self
 
-    def predict(self, images):
+    def predict(self, images, *, normalized=False):
         """Same contract as serving.HandPoseEstimator.predict: [N,H,W,3]
         uint8 / [0,1] float / mean-subtracted float in, dict of numpy out."""
         from hand3d_tpu.serving import chunked_predict, normalize_images
 
-        images = normalize_images(images)
+        images = np.asarray(images) if normalized else normalize_images(
+            images)
         assert images.shape[1:3] == self.input_hw, (
             f"artifact expects {self.input_hw} input, got {images.shape[1:3]}"
         )

@@ -11,6 +11,8 @@ Example:
     out["keypoint_uv21"], out["keypoint_coord3d"], out["hand_scoremap"]
 """
 
+import threading
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -229,9 +231,10 @@ class AutoBucketEstimator:
 
         return min(self.snap_hws, key=dist)
 
-    def predict(self, images):
+    def predict(self, images, *, normalized=False):
         """Same contract as HandPoseEstimator.predict, any resolution."""
-        images = normalize_images(images)
+        images = np.asarray(images) if normalized else normalize_images(
+            images)
         hw = tuple(images.shape[1:3])
         target = self._snap(hw)
         if target != hw:
@@ -254,3 +257,102 @@ class AutoBucketEstimator:
             out["center"] = out["center"] * scale_uv[::-1]
         out["snap_hw"] = np.asarray(target, np.int32)
         return out
+
+
+class DynamicBatcher:
+    """Aggregate CONCURRENT predict() calls into one device batch.
+
+    Production serving pattern (cf. TF-Serving/Triton dynamic batching):
+    callers from many threads each submit a few images; a single batcher
+    thread drains the queue, coalesces up to ``max_batch`` images — waiting
+    at most ``max_wait_ms`` for stragglers after the first arrival — runs
+    ONE predict on the wrapped estimator, and scatters the results back.
+    Under load the device sees full batches (its efficient regime, see
+    DESIGN.md batch-32 vs batch-1 numbers); an isolated request pays at
+    most max_wait_ms extra latency.
+
+    Wraps any estimator with the predict() contract (HandPoseEstimator,
+    AutoBucketEstimator, ExportedEstimator). Requests whose (H, W) differ
+    are batched separately (shapes must agree within one device batch).
+    """
+
+    def __init__(self, estimator, max_batch=None, max_wait_ms=5.0):
+        import queue as queue_mod
+
+        self.est = estimator
+        self.max_batch = max_batch or getattr(estimator, "batch_size", 8)
+        self.max_wait = max_wait_ms / 1000.0
+        self._q = queue_mod.Queue()
+        self._queue_mod = queue_mod
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="dynamic-batcher")
+        self._thread.start()
+
+    def close(self):
+        self._stop = True
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+    def predict(self, images):
+        """Same contract as the wrapped estimator; thread-safe."""
+        from concurrent.futures import Future
+
+        images = normalize_images(images)
+        fut = Future()
+        self._q.put((images, fut))
+        return fut.result()
+
+    def _collect(self, first):
+        """Coalesce requests: same-(H,W) items up to max_batch, waiting at
+        most max_wait for more after the first arrival."""
+        import time as time_mod
+
+        items = [first]
+        hw = first[0].shape[1:3]
+        total = first[0].shape[0]
+        deadline = time_mod.monotonic() + self.max_wait
+        put_back = []
+        while total < self.max_batch:
+            remaining = deadline - time_mod.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._q.get(timeout=remaining)
+            except self._queue_mod.Empty:
+                break
+            if item is None:
+                self._q.put(None)  # keep the shutdown token
+                break
+            if item[0].shape[1:3] != hw:
+                put_back.append(item)  # different bucket: next round
+                continue
+            items.append(item)
+            total += item[0].shape[0]
+        for item in put_back:
+            self._q.put(item)
+        return items
+
+    def _loop(self):
+        while not self._stop:
+            first = self._q.get()
+            if first is None:
+                return
+            items = self._collect(first)
+            try:
+                batch = np.concatenate([im for im, _ in items])
+                out = self.est.predict(batch, normalized=True)
+                start = 0
+                for im, fut in items:
+                    n = im.shape[0]
+                    fut.set_result(
+                        {k: v[start : start + n] for k, v in out.items()
+                         if k != "snap_hw"}
+                        | ({"snap_hw": out["snap_hw"]} if "snap_hw" in out
+                           else {})
+                    )
+                    start += n
+            except Exception as e:
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)

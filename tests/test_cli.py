@@ -367,3 +367,49 @@ def test_cli_eval3d_from_posenet(rhd_bin, monkeypatch, capsys):
         monkeypatch,
     )
     assert "Average mean EPE" in capsys.readouterr().out
+
+
+def test_dynamic_batcher_coalesces_concurrent_requests():
+    from concurrent.futures import ThreadPoolExecutor
+
+    from hand3d_tpu.serving import DynamicBatcher, HandPoseEstimator
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+
+    params = ColorHandPose3D().init(jax.random.PRNGKey(0))
+    est = HandPoseEstimator(params, batch_size=4, input_hw=(120, 160))
+    est.warmup()
+
+    calls = []
+    inner_predict = est.predict
+
+    def counting_predict(images, normalized=False):
+        calls.append(images.shape[0])
+        return inner_predict(images, normalized=normalized)
+
+    est.predict = counting_predict
+    batcher = DynamicBatcher(est, max_batch=4, max_wait_ms=500.0)
+    try:
+        rng = np.random.RandomState(0)
+        imgs = (rng.rand(4, 120, 160, 3) * 255).astype(np.uint8)
+        with ThreadPoolExecutor(4) as pool:
+            futs = [pool.submit(batcher.predict, imgs[i : i + 1])
+                    for i in range(4)]
+            outs = [f.result(timeout=120) for f in futs]
+        # the 4 concurrent 1-image requests ran as ONE device batch
+        assert calls == [4], calls
+        ref = inner_predict(imgs)
+        for i, out in enumerate(outs):
+            np.testing.assert_allclose(
+                out["keypoint_uv21"][0], ref["keypoint_uv21"][i], atol=1e-5
+            )
+
+        # errors propagate to the caller, not the batcher thread
+        import pytest
+
+        with pytest.raises(AssertionError, match="expected"):
+            batcher.predict(np.zeros((1, 60, 80, 3), np.uint8))
+        # batcher still alive afterwards
+        ok = batcher.predict(imgs[:1])
+        assert ok["keypoint_uv21"].shape == (1, 21, 2)
+    finally:
+        batcher.close()
