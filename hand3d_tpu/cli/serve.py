@@ -53,13 +53,29 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):
-        if self.path != "/healthz":
-            return self._json(404, {"error": "unknown path"})
-        return self._json(200, {"status": "ok", **self.server.meta})
+        if self.path == "/healthz":
+            return self._json(200, {"status": "ok", **self.server.meta})
+        if self.path == "/metrics":
+            s = self.server.stats
+            with self.server.stats_lock:
+                lines = "".join(
+                    f"hand3d_{k} {v}\n" for k, v in sorted(s.items())
+                )
+            body = lines.encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return None
+        return self._json(404, {"error": "unknown path"})
 
     def do_POST(self):
+        import time
+
         if self.path != "/predict":
             return self._json(404, {"error": "unknown path"})
+        t0 = time.perf_counter()
         try:
             length = int(self.headers.get("Content-Length", 0))
             images = _decode_body(
@@ -68,6 +84,12 @@ class _Handler(BaseHTTPRequestHandler):
             )
             with self.server.lock:
                 out = self.server.predict(images)
+            with self.server.stats_lock:
+                self.server.stats["requests_total"] += 1
+                self.server.stats["images_total"] += len(images)
+                self.server.stats["request_seconds_sum"] = round(
+                    self.server.stats["request_seconds_sum"]
+                    + (time.perf_counter() - t0), 6)
             return self._json(200, {
                 "keypoint_uv21": np.asarray(out["keypoint_uv21"]).tolist(),
                 "keypoint_coord3d":
@@ -77,6 +99,8 @@ class _Handler(BaseHTTPRequestHandler):
                     len(images)).tolist(),
             })
         except Exception as e:  # surface the cause to the client
+            with self.server.stats_lock:
+                self.server.stats["errors_total"] += 1
             return self._json(400, {"error": f"{type(e).__name__}: {e}"})
 
     def log_message(self, fmt, *args):  # route through one logger
@@ -104,6 +128,9 @@ def make_server(predict, meta, host="127.0.0.1", port=8000, serialize=True):
     srv.predict = predict
     srv.meta = meta
     srv.lock = threading.Lock() if serialize else contextlib.nullcontext()
+    srv.stats = {"requests_total": 0, "errors_total": 0, "images_total": 0,
+                 "request_seconds_sum": 0.0}
+    srv.stats_lock = threading.Lock()
     return srv
 
 
@@ -161,12 +188,22 @@ def main(argv=None):
                       serialize=args.dynamic_batch is None)
     print(f"serving on http://{args.host}:{srv.server_address[1]} "
           f"({meta})", flush=True)
+
+    # graceful SIGTERM (container stop / supervisor): finish in-flight
+    # requests, stop accepting, exit 0
+    import signal
+
+    def _term(signum, frame):
+        threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
         srv.server_close()
+        print("shut down cleanly", flush=True)
 
 
 if __name__ == "__main__":

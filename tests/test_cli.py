@@ -351,7 +351,18 @@ def test_http_serve_endpoint(tmp_path):
 
         conn.request("POST", "/predict", body=b"not-an-image",
                      headers={"Content-Type": "image/png"})
-        assert conn.getresponse().status == 400
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+
+        conn.request("GET", "/metrics")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        text = resp.read().decode()
+        assert "hand3d_requests_total 1" in text
+        assert "hand3d_errors_total 1" in text
+        assert "hand3d_images_total 1" in text
+        assert "hand3d_request_seconds_sum" in text
     finally:
         srv.shutdown()
         srv.server_close()
