@@ -88,10 +88,41 @@ def _run(dataset, cfg, batch_size, step_fn, params, util_feed, progress=None,
 
         sharding = batch_sharding(mesh)
 
+    # multi-host (one jax process per host, mesh spanning them): every
+    # process runs this loop over the SAME global batch list; each feeds
+    # the rows of its addressable "data" shards (jax.devices() orders by
+    # process, so those are contiguous), and metric outputs are
+    # all-gathered so every host computes identical metrics.
+    nproc = jax.process_count()
+    multihost = sharding is not None and nproc > 1
+    if multihost:
+        from jax.experimental import multihost_utils
+
+        assert batch_size % nproc == 0, (
+            f"eval batch_size {batch_size} must divide over "
+            f"{nproc} processes"
+        )
+        per = batch_size // nproc
+        lo = jax.process_index() * per
+
     fused_pr = _fused_step(cache_key, step_fn, pre, cfg)
 
     def fused(raw):
         return fused_pr(params, raw)
+
+    def place(raw):
+        raw = {k: jnp.asarray(v) for k, v in raw.items()}
+        if sharding is None:
+            return raw
+        shardings = jax.tree_util.tree_map(lambda _: sharding, raw)
+        if multihost:
+            return jax.tree_util.tree_map(
+                lambda x, s: jax.make_array_from_process_local_data(
+                    s, np.asarray(x[lo : lo + per])
+                ),
+                raw, shardings,
+            )
+        return jax.device_put(raw, shardings)
 
     q = queue.Queue(maxsize=2)
     batches = list(_eval_batches(dataset, batch_size))
@@ -108,6 +139,10 @@ def _run(dataset, cfg, batch_size, step_fn, params, util_feed, progress=None,
 
     def drain_one(bi):
         out, valid = pending.popleft()
+        if multihost:
+            # gather the data-sharded metric outputs so every host feeds
+            # the full batch and reports identical metrics
+            out = multihost_utils.process_allgather(out, tiled=True)
         util_feed({k: np.asarray(v)[:valid] for k, v in out.items()})
         if progress:
             progress(bi, valid)
@@ -115,12 +150,7 @@ def _run(dataset, cfg, batch_size, step_fn, params, util_feed, progress=None,
     drained = 0
     for _ in range(len(batches)):
         raw, valid = q.get()
-        raw = {k: jnp.asarray(v) for k, v in raw.items()}
-        if sharding is not None:
-            raw = jax.device_put(
-                raw, jax.tree_util.tree_map(lambda _: sharding, raw)
-            )
-        pending.append((fused(raw), valid))
+        pending.append((fused(place(raw)), valid))
         if len(pending) > window:
             drain_one(drained)
             drained += 1

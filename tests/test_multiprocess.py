@@ -13,6 +13,8 @@ import os
 import subprocess
 import sys
 
+import numpy as np
+
 
 from fixtures import make_rhd_bin
 
@@ -75,6 +77,17 @@ w = state.params[posenet.SCOPE]["conv1_1"]["weights"]
 wsum = float(jnp.sum(jnp.abs(w)))
 print(f"RESULT pid={pid} loss={loss:.10f} wsum={wsum:.10f} "
       f"step={int(state.step)}", flush=True)
+
+# multi-host EVAL: the harness feeds each process's addressable batch rows
+# and all-gathers the metric outputs — metrics must match a single-process
+# run exactly (checked by the test harness against a local reference)
+from hand3d_tpu.eval.harnesses import eval2d_gt_cropped
+
+m = eval2d_gt_cropped(posenet.init(jax.random.PRNGKey(0)),
+                      RHDDataset("evaluation", path=data_path),
+                      batch_size=4, mesh=mesh)
+print(f"EVAL pid={pid} mean={m['epe_mean_px']:.8f} "
+      f"auc={m['auc_0_30px']:.8f}", flush=True)
 """
 
 
@@ -100,14 +113,36 @@ def test_two_process_dp_training_stays_in_lockstep(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
 
-    results = {}
+    results, evals = {}, {}
     for out in outs:
         line = [l for l in out.splitlines() if l.startswith("RESULT")][0]
         kv = dict(part.split("=") for part in line.split()[1:])
         results[int(kv["pid"])] = kv
+        eline = [l for l in out.splitlines() if l.startswith("EVAL")][0]
+        ev = dict(part.split("=") for part in eline.split()[1:])
+        evals[int(ev["pid"])] = ev
     assert set(results) == {0, 1}
     # synchronized DP: both processes see the SAME replicated loss, params
     # and step counter after two global steps
     assert results[0]["loss"] == results[1]["loss"]
     assert results[0]["wsum"] == results[1]["wsum"]
     assert results[0]["step"] == results[1]["step"] == "2"
+
+    # multi-host eval: identical across hosts AND equal to a local
+    # single-process run of the same harness on the same weights/data
+    assert (evals[0]["mean"], evals[0]["auc"]) == (
+        evals[1]["mean"], evals[1]["auc"])
+    import jax
+
+    from hand3d_tpu.data.rhd import RHDDataset
+    from hand3d_tpu.eval.harnesses import eval2d_gt_cropped
+    from hand3d_tpu.models import posenet
+
+    ref = eval2d_gt_cropped(
+        posenet.init(jax.random.PRNGKey(0)),
+        RHDDataset("evaluation", path=data), batch_size=4,
+    )
+    np.testing.assert_allclose(
+        float(evals[0]["mean"]), ref["epe_mean_px"], rtol=1e-5)
+    np.testing.assert_allclose(
+        float(evals[0]["auc"]), ref["auc_0_30px"], rtol=1e-5)
