@@ -76,12 +76,17 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path != "/predict":
             return self._json(404, {"error": "unknown path"})
         t0 = time.perf_counter()
-        try:
+        try:  # malformed request body -> the client's fault: 400
             length = int(self.headers.get("Content-Length", 0))
             images = _decode_body(
                 self.rfile.read(length),
                 self.headers.get("Content-Type", ""),
             )
+        except Exception as e:
+            with self.server.stats_lock:
+                self.server.stats["errors_total"] += 1
+            return self._json(400, {"error": f"{type(e).__name__}: {e}"})
+        try:  # predict-side failure -> a server fault: 500
             with self.server.lock:
                 out = self.server.predict(images)
             with self.server.stats_lock:
@@ -101,21 +106,10 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # surface the cause to the client
             with self.server.stats_lock:
                 self.server.stats["errors_total"] += 1
-            return self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            return self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
     def log_message(self, fmt, *args):  # route through one logger
         print(f"[serve] {self.address_string()} {fmt % args}", flush=True)
-
-
-class _PredictWrapper:
-    """Adapt a bare predict callable to the estimator interface
-    DynamicBatcher wraps (a .predict(images, normalized=) method)."""
-
-    def __init__(self, predict):
-        self._predict = predict
-
-    def predict(self, images, normalized=False):
-        return self._predict(images, normalized=normalized)
 
 
 def make_server(predict, meta, host="127.0.0.1", port=8000, serialize=True):
@@ -125,6 +119,11 @@ def make_server(predict, meta, host="127.0.0.1", port=8000, serialize=True):
     import contextlib
 
     srv = ThreadingHTTPServer((host, port), _Handler)
+    # ThreadingHTTPServer defaults to daemon handler threads, which the
+    # interpreter kills at exit; non-daemon threads are tracked and joined
+    # by server_close(), which is what makes SIGTERM actually finish
+    # in-flight requests before main() returns.
+    srv.daemon_threads = False
     srv.predict = predict
     srv.meta = meta
     srv.lock = threading.Lock() if serialize else contextlib.nullcontext()
@@ -134,13 +133,17 @@ def make_server(predict, meta, host="127.0.0.1", port=8000, serialize=True):
     return srv
 
 
-def build_predict(args):
-    """Returns (predict(images)->dict, meta) from --weights or --artifact."""
+def build_estimator(args):
+    """Returns (estimator, meta) from --weights or --artifact. Either way
+    the estimator accepts any input resolution (host-side snap resize, uv
+    mapped back) and exposes the .predict(images, normalized=) contract
+    DynamicBatcher can wrap."""
     if args.artifact:
         from hand3d_tpu.export import ExportedEstimator
+        from hand3d_tpu.serving import SnapEstimator
 
-        est = ExportedEstimator.load(args.artifact).warmup()
-        return est.predict, {"source": "artifact", **est.meta}
+        est = SnapEstimator(ExportedEstimator.load(args.artifact).warmup())
+        return est, {"source": "artifact", **est.est.meta}
     from hand3d_tpu.serving import AutoBucketEstimator
     from hand3d_tpu.weights import load_npz
 
@@ -152,7 +155,7 @@ def build_predict(args):
     meta = {"source": "weights", "batch_size": args.batch_size,
             "input_hw": list(args.input_hw), "quantize": args.quantize,
             "seg_scale": args.seg_scale}
-    return est.predict, meta
+    return est, meta
 
 
 def main(argv=None):
@@ -174,12 +177,13 @@ def main(argv=None):
                         "most WAIT_MS for stragglers (serving.DynamicBatcher)")
     args = p.parse_args(argv)
 
-    predict, meta = build_predict(args)
+    est, meta = build_estimator(args)
+    predict = est.predict
     if args.dynamic_batch is not None:
         from hand3d_tpu.serving import DynamicBatcher
 
         batcher = DynamicBatcher(
-            _PredictWrapper(predict), max_batch=args.batch_size,
+            est, max_batch=args.batch_size,
             max_wait_ms=args.dynamic_batch,
         )
         predict = batcher.predict

@@ -111,18 +111,21 @@ def _run(dataset, cfg, batch_size, step_fn, params, util_feed, progress=None,
         return fused_pr(params, raw)
 
     def place(raw):
-        raw = {k: jnp.asarray(v) for k, v in raw.items()}
+        # raw values are host numpy (dataset.raw_batch); upload each row
+        # range exactly once — in multihost mode slice the local rows on
+        # host BEFORE any device transfer (uploading the global batch and
+        # slicing it back would cost 2x the batch in transfers and stage
+        # rows this process never feeds)
         if sharding is None:
-            return raw
-        shardings = jax.tree_util.tree_map(lambda _: sharding, raw)
+            return {k: jnp.asarray(v) for k, v in raw.items()}
         if multihost:
-            return jax.tree_util.tree_map(
-                lambda x, s: jax.make_array_from_process_local_data(
-                    s, np.asarray(x[lo : lo + per])
-                ),
-                raw, shardings,
-            )
-        return jax.device_put(raw, shardings)
+            return {
+                k: jax.make_array_from_process_local_data(
+                    sharding, np.ascontiguousarray(v[lo : lo + per])
+                )
+                for k, v in raw.items()
+            }
+        return {k: jax.device_put(v, sharding) for k, v in raw.items()}
 
     q = queue.Queue(maxsize=2)
     batches = list(_eval_batches(dataset, batch_size))

@@ -175,6 +175,54 @@ class HandPoseEstimator:
         )
 
 
+def _resize_to(images, target_hw):
+    """Host-side bilinear resize of [N,H,W,3] into ``target_hw``."""
+    import jax.image
+
+    return np.asarray(jax.image.resize(
+        images, (images.shape[0], *target_hw, 3), "bilinear"
+    ))
+
+
+def _map_back(out, hw, target_hw):
+    """Map pixel-space outputs from the bucket frame ``target_hw`` back to
+    the caller's frame ``hw``: keypoint_uv21 is (u, v), center is (row,
+    col). hand_scoremap and scale_crop stay in the bucket frame (a scalar
+    crop scale cannot survive an anisotropic resize); the ``snap_hw``
+    output records that frame."""
+    scale_uv = np.asarray(
+        [hw[1] / target_hw[1], hw[0] / target_hw[0]], np.float32
+    )
+    out["keypoint_uv21"] = out["keypoint_uv21"] * scale_uv
+    out["center"] = out["center"] * scale_uv[::-1]
+    return out
+
+
+class SnapEstimator:
+    """Wrap a single fixed-resolution estimator (e.g. an
+    ``export.ExportedEstimator``, whose compiled program is baked at one
+    (H, W)): any-resolution inputs are host-resized to its bucket and
+    keypoint_uv21/center mapped back to the caller's frame — the same
+    contract AutoBucketEstimator provides for live weights."""
+
+    def __init__(self, estimator):
+        self.est = estimator
+        self.batch_size = estimator.batch_size
+        self.input_hw = tuple(estimator.input_hw)
+
+    def predict(self, images, *, normalized=False):
+        images = np.asarray(images) if normalized else normalize_images(
+            images)
+        hw = tuple(images.shape[1:3])
+        if hw != self.input_hw:
+            images = _resize_to(images, self.input_hw)
+        out = self.est.predict(images, normalized=True)
+        if hw != self.input_hw:
+            out = _map_back(out, hw, self.input_hw)
+        out["snap_hw"] = np.asarray(self.input_hw, np.int32)
+        return out
+
+
 class AutoBucketEstimator:
     """Serving across mixed input resolutions: one compiled bucket per
     observed (height, width), built lazily and cached.
@@ -238,23 +286,10 @@ class AutoBucketEstimator:
         hw = tuple(images.shape[1:3])
         target = self._snap(hw)
         if target != hw:
-            # host-side bilinear resize into the snapped bucket
-            import jax.image
-
-            images = np.asarray(jax.image.resize(
-                images, (images.shape[0], *target, 3), "bilinear"
-            ))
+            images = _resize_to(images, target)
         out = self._bucket(target).predict(images, normalized=True)
         if target != hw:
-            # pixel-space outputs back to the caller's frame: keypoint_uv21
-            # (u, v) and center (row, col). hand_scoremap and scale_crop
-            # stay in the bucket frame — a scalar crop scale cannot survive
-            # an anisotropic resize — so snap_hw records that frame.
-            scale_uv = np.asarray(
-                [hw[1] / target[1], hw[0] / target[0]], np.float32
-            )
-            out["keypoint_uv21"] = out["keypoint_uv21"] * scale_uv
-            out["center"] = out["center"] * scale_uv[::-1]
+            out = _map_back(out, hw, target)
         out["snap_hw"] = np.asarray(target, np.int32)
         return out
 
@@ -285,27 +320,41 @@ class DynamicBatcher:
         self._q = queue_mod.Queue()
         self._queue_mod = queue_mod
         self._stop = False
+        self._lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="dynamic-batcher")
         self._thread.start()
 
     def close(self):
-        self._stop = True
-        self._q.put(None)
-        self._thread.join(timeout=5)
+        """Stop accepting new requests, finish everything already queued,
+        then stop the batcher thread. Idempotent."""
+        with self._lock:
+            if self._stop:
+                return
+            self._stop = True
+        self._q.put(None)  # shutdown token: drained strictly after all
+        # requests enqueued before close() (predict holds _lock, so no
+        # request can slip in after _stop is set)
+        self._thread.join(timeout=30)
 
     def predict(self, images):
-        """Same contract as the wrapped estimator; thread-safe."""
+        """Same contract as the wrapped estimator; thread-safe. Raises
+        RuntimeError after close()."""
         from concurrent.futures import Future
 
         images = normalize_images(images)
         fut = Future()
-        self._q.put((images, fut))
+        with self._lock:
+            if self._stop:
+                raise RuntimeError("DynamicBatcher is closed")
+            self._q.put((images, fut))
         return fut.result()
 
     def _collect(self, first):
-        """Coalesce requests: same-(H,W) items up to max_batch, waiting at
-        most max_wait for more after the first arrival."""
+        """Coalesce requests: same-(H,W) items totalling at most max_batch
+        images, waiting at most max_wait for more after the first arrival.
+        Items that don't fit this batch (other resolution, or would
+        overflow max_batch) are re-queued for the next round."""
         import time as time_mod
 
         items = [first]
@@ -313,6 +362,7 @@ class DynamicBatcher:
         total = first[0].shape[0]
         deadline = time_mod.monotonic() + self.max_wait
         put_back = []
+        saw_stop = False
         while total < self.max_batch:
             remaining = deadline - time_mod.monotonic()
             if remaining <= 0:
@@ -322,37 +372,68 @@ class DynamicBatcher:
             except self._queue_mod.Empty:
                 break
             if item is None:
-                self._q.put(None)  # keep the shutdown token
+                saw_stop = True
                 break
+            n = item[0].shape[0]
             if item[0].shape[1:3] != hw:
                 put_back.append(item)  # different bucket: next round
                 continue
+            if total + n > self.max_batch:
+                put_back.append(item)  # would overflow: next round
+                break  # this batch is as full as it gets
             items.append(item)
-            total += item[0].shape[0]
+            total += n
         for item in put_back:
             self._q.put(item)
+        if saw_stop:
+            # re-queue the shutdown token BEHIND the put-back items so the
+            # loop still processes them before exiting
+            self._q.put(None)
         return items
 
     def _loop(self):
-        while not self._stop:
-            first = self._q.get()
-            if first is None:
-                return
-            items = self._collect(first)
-            try:
-                batch = np.concatenate([im for im, _ in items])
-                out = self.est.predict(batch, normalized=True)
-                start = 0
-                for im, fut in items:
-                    n = im.shape[0]
-                    fut.set_result(
-                        {k: v[start : start + n] for k, v in out.items()
-                         if k != "snap_hw"}
-                        | ({"snap_hw": out["snap_hw"]} if "snap_hw" in out
-                           else {})
-                    )
-                    start += n
-            except Exception as e:
-                for _, fut in items:
-                    if not fut.done():
-                        fut.set_exception(e)
+        draining = False
+        try:
+            while True:
+                if draining:
+                    # shutdown token seen: finish whatever is still queued
+                    # (e.g. put-back items re-queued behind the token),
+                    # then exit
+                    try:
+                        first = self._q.get_nowait()
+                    except self._queue_mod.Empty:
+                        return
+                else:
+                    first = self._q.get()
+                if first is None:
+                    draining = True
+                    continue
+                items = self._collect(first)
+                try:
+                    batch = np.concatenate([im for im, _ in items])
+                    out = self.est.predict(batch, normalized=True)
+                    start = 0
+                    for im, fut in items:
+                        n = im.shape[0]
+                        fut.set_result(
+                            {k: v[start : start + n] for k, v in out.items()
+                             if k != "snap_hw"}
+                            | ({"snap_hw": out["snap_hw"]}
+                               if "snap_hw" in out else {})
+                        )
+                        start += n
+                except Exception as e:
+                    for _, fut in items:
+                        if not fut.done():
+                            fut.set_exception(e)
+        finally:
+            # fail anything still queued so no caller blocks forever
+            # (normally empty: close() guarantees the token drains last)
+            while True:
+                try:
+                    item = self._q.get_nowait()
+                except self._queue_mod.Empty:
+                    break
+                if item is not None and not item[1].done():
+                    item[1].set_exception(
+                        RuntimeError("DynamicBatcher closed"))

@@ -424,3 +424,105 @@ def test_dynamic_batcher_coalesces_concurrent_requests():
         assert ok["keypoint_uv21"].shape == (1, 21, 2)
     finally:
         batcher.close()
+
+
+class _FakeEstimator:
+    """Minimal predict() contract for batcher lifecycle tests (no compile):
+    returns each input image's mean as a 'keypoint'."""
+
+    def __init__(self, delay=0.0):
+        import time
+
+        self.calls = []
+        self.delay = delay
+        self._time = time
+
+    def predict(self, images, normalized=False):
+        self.calls.append(images.shape[0])
+        if self.delay:
+            self._time.sleep(self.delay)
+        return {"mean": images.reshape(images.shape[0], -1).mean(axis=1)}
+
+
+def test_dynamic_batcher_respects_max_batch():
+    from hand3d_tpu.serving import DynamicBatcher
+
+    est = _FakeEstimator()
+    batcher = DynamicBatcher(est, max_batch=8, max_wait_ms=200.0)
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        imgs = np.zeros((5, 8, 8, 3), np.float32)
+        with ThreadPoolExecutor(2) as pool:
+            futs = [pool.submit(batcher.predict, imgs) for _ in range(2)]
+            outs = [f.result(timeout=30) for f in futs]
+        # two 5-image requests with max_batch=8 must NOT fuse into a
+        # 10-image device batch; the second is deferred to the next round
+        assert sorted(est.calls) == [5, 5], est.calls
+        for out in outs:
+            assert out["mean"].shape == (5,)
+    finally:
+        batcher.close()
+
+
+def test_dynamic_batcher_close_semantics():
+    import threading
+
+    import pytest
+
+    from hand3d_tpu.serving import DynamicBatcher
+
+    # requests already queued when close() lands still complete (graceful)
+    est = _FakeEstimator(delay=0.2)
+    batcher = DynamicBatcher(est, max_batch=1, max_wait_ms=1.0)
+    imgs = np.zeros((1, 8, 8, 3), np.float32)
+    results = []
+    threads = [
+        threading.Thread(target=lambda: results.append(batcher.predict(imgs)))
+        for _ in range(3)
+    ]
+    for t in threads:
+        t.start()
+    import time
+
+    time.sleep(0.05)  # let all three enqueue while the first is in-flight
+    batcher.close()
+    for t in threads:
+        t.join(timeout=30)
+    assert len(results) == 3 and all(
+        r["mean"].shape == (1,) for r in results)
+
+    # after close(): fail fast instead of hanging forever
+    with pytest.raises(RuntimeError, match="closed"):
+        batcher.predict(imgs)
+    batcher.close()  # idempotent
+
+
+def test_http_serve_predict_failure_is_500():
+    """Server-side predict faults are 500s (client errors stay 400) so load
+    balancers/alerting classify them correctly."""
+    import http.client
+    import threading
+
+    from hand3d_tpu.cli import serve
+
+    def broken_predict(images, normalized=False):
+        raise RuntimeError("device fell over")
+
+    srv = serve.make_server(broken_predict, {"source": "test"}, port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        import io
+
+        buf = io.BytesIO()
+        np.save(buf, np.zeros((1, 8, 8, 3), np.uint8))
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", "/predict", body=buf.getvalue(),
+                     headers={"Content-Type": "application/x-npy"})
+        resp = conn.getresponse()
+        assert resp.status == 500
+        assert b"device fell over" in resp.read()
+    finally:
+        srv.shutdown()
+        srv.server_close()

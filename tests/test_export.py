@@ -105,3 +105,38 @@ def test_export_cli(small_setup, tmp_path):
     assert est.batch_size == 1
     r = est.predict(np.zeros((1, 120, 160, 3), np.uint8))
     assert r["keypoint_uv21"].shape == (1, 21, 2)
+
+
+def test_snap_estimator_wraps_artifact_any_resolution(small_setup):
+    """The HTTP server's --artifact mode serves any input resolution: the
+    SnapEstimator wrapper host-resizes into the artifact's baked (H, W)
+    bucket and maps keypoint_uv21/center back to the caller's frame."""
+    from hand3d_tpu.export import ExportedEstimator
+    from hand3d_tpu.serving import SnapEstimator
+
+    _, params = small_setup
+    est = SnapEstimator(ExportedEstimator(_export_blob(params)))
+    assert est.input_hw == (120, 160)
+
+    rng = np.random.RandomState(3)
+    img = (rng.rand(1, 90, 100, 3) * 255).astype(np.uint8)
+    out = est.predict(img)
+    assert tuple(out["snap_hw"]) == (120, 160)
+    assert out["keypoint_uv21"].shape == (1, 21, 2)
+    # uv mapped back to the caller's 90x100 frame: exactly the bucket-frame
+    # prediction on the resized image, scaled by (100/160, 90/120)
+    from hand3d_tpu.serving import _resize_to
+
+    bucket = est.est.predict(_resize_to(
+        img.astype(np.float32) / 255.0 - 0.5, (120, 160)), normalized=True)
+    np.testing.assert_allclose(
+        out["keypoint_uv21"],
+        bucket["keypoint_uv21"] * np.asarray([100 / 160, 90 / 120]),
+        rtol=1e-5, atol=1e-4)
+
+    # exact-resolution inputs pass through without resizing
+    img_exact = (rng.rand(1, 120, 160, 3) * 255).astype(np.uint8)
+    direct = est.est.predict(img_exact)
+    snapped = est.predict(img_exact)
+    np.testing.assert_array_equal(
+        snapped["keypoint_uv21"], direct["keypoint_uv21"])

@@ -100,7 +100,13 @@ def test_two_process_dp_training_stays_in_lockstep(tmp_path):
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, PYTHONPATH=repo_root)
     env.pop("JAX_PLATFORMS", None)
-    port = "47613"
+    # ephemeral port so concurrent runs on one machine can't collide on
+    # the coordinator address (the OS rarely reissues a just-released port)
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(pid), "2", port, data],
@@ -109,7 +115,12 @@ def test_two_process_dp_training_stays_in_lockstep(tmp_path):
         )
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=540)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=540)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:  # don't leak hung workers past the test
+            p.kill()
+        raise
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
 
