@@ -25,13 +25,26 @@ class NativeUnavailable(RuntimeError):
 
 
 def _build():
+    # compile to a private temp name, then atomically rename into place:
+    # concurrent builds from several processes (fresh checkout, multi-host
+    # launch) each produce a complete .so and the rename is last-wins —
+    # never a partially written ELF for a peer to dlopen
+    tmp = f"{_LIB}.tmp.{os.getpid()}"
     cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _LIB,
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", tmp,
         "-lpthread",
     ]
-    proc = subprocess.run(cmd, capture_output=True, text=True)
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+    except FileNotFoundError as e:  # no g++ on this machine
+        raise NativeUnavailable(f"g++ not found: {e}") from e
     if proc.returncode != 0:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         raise NativeUnavailable(f"g++ build failed:\n{proc.stderr}")
+    os.replace(tmp, _LIB)
 
 
 def load_library():
@@ -90,12 +103,20 @@ class NativeRecordReader:
         self._lib.rr_reset(self._handle, epochs)
 
     def next_batch(self):
-        """Returns (records, indices) copies, or None when drained."""
+        """Returns (records, indices) copies, or None when drained.
+
+        Batches arrive in the deterministic claimed order (same seed ->
+        same stream, independent of native worker scheduling)."""
         n = self._lib.rr_next(
             self._handle,
             self._buf.ctypes.data_as(ctypes.c_char_p),
             self._idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
+        if n < 0:
+            raise IOError(
+                "native record streamer hit a short read (truncated or "
+                "concurrently modified file?)"
+            )
         if n == 0:
             return None
         return self._buf[:n].copy(), self._idx[:n].copy()

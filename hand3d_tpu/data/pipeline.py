@@ -18,6 +18,14 @@ from hand3d_tpu.data.preprocess import preprocess_rhd, preprocess_stb
 from hand3d_tpu.data.rhd import RHDDataset
 
 
+class _ProducerError:
+    """Queue sentinel carrying a background-thread exception to the
+    consumer (which would otherwise block in q.get() forever)."""
+
+    def __init__(self, exc):
+        self.exc = exc
+
+
 def epoch_indices(num_samples, batch_size, shuffle, seed, drop_remainder=True,
                   process_shard=(0, 1)):
     """Batched index arrays for one epoch.
@@ -144,14 +152,26 @@ class InputPipeline:
     def __iter__(self):
         return self.iterate(epochs=1)
 
-    def iterate(self, epochs=None, start_epoch=0):
-        """Yield feature dicts; ``epochs=None`` iterates forever."""
-        self.steps_per_epoch()  # validate batch size vs dataset up front
-        if self.use_native and start_epoch == 0 and self.process_shard[1] == 1:
+    def iterate(self, epochs=None, start_epoch=0, skip_steps=0):
+        """Yield feature dicts; ``epochs=None`` iterates forever.
+
+        ``start_epoch``/``skip_steps`` resume the stream mid-run: the first
+        yielded batch is step ``skip_steps`` of epoch ``start_epoch``, with
+        exactly the shuffle order and augmentation keys an uninterrupted
+        run would have used there (train.loop.fit derives both from the
+        restored step counter on --resume)."""
+        spe = self.steps_per_epoch()  # validate batch size vs dataset
+        assert 0 <= skip_steps < spe, (
+            f"skip_steps {skip_steps} outside epoch of {spe} steps "
+            "(fold whole epochs into start_epoch)"
+        )
+        if (self.use_native and start_epoch == 0 and skip_steps == 0
+                and self.process_shard[1] == 1):
             # the native streamer owns its shuffle state: it cannot resume
             # from a later epoch's order/keys, and its order is unsharded —
             # resumed or multi-host iteration uses the threaded path (which
-            # honors start_epoch and the per-process epoch shard exactly)
+            # honors start_epoch/skip_steps and the per-process epoch shard
+            # exactly)
             native_it = self._iterate_native(epochs)
             if native_it is not None:
                 yield from native_it
@@ -160,19 +180,27 @@ class InputPipeline:
         stop = threading.Event()
 
         def producer():
-            epoch = start_epoch
-            while not stop.is_set() and (epochs is None or epoch < start_epoch + epochs):
-                batches = epoch_indices(
-                    len(self.dataset), self.batch_size, self.shuffle,
-                    self.seed + epoch, process_shard=self.process_shard,
-                )
-                for step, idx in enumerate(batches):
-                    if stop.is_set():
-                        return
-                    raw = self.dataset.raw_batch(idx)
-                    q.put((epoch, step, raw))
-                epoch += 1
-            q.put(None)
+            try:
+                epoch = start_epoch
+                while not stop.is_set() and (
+                        epochs is None or epoch < start_epoch + epochs):
+                    batches = epoch_indices(
+                        len(self.dataset), self.batch_size, self.shuffle,
+                        self.seed + epoch, process_shard=self.process_shard,
+                    )
+                    first = skip_steps if epoch == start_epoch else 0
+                    for step, idx in enumerate(batches):
+                        if step < first:
+                            continue
+                        if stop.is_set():
+                            return
+                        raw = self.dataset.raw_batch(idx)
+                        q.put((epoch, step, raw))
+                    epoch += 1
+                q.put(None)
+            except BaseException as e:  # propagate: a silent death would
+                # leave the consumer blocked in q.get() forever
+                q.put(_ProducerError(e))
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -182,6 +210,10 @@ class InputPipeline:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, _ProducerError):
+                    raise RuntimeError(
+                        "input-pipeline producer thread failed"
+                    ) from item.exc
                 epoch, step, raw = item
                 raw = self._place(raw)
                 key = None
@@ -222,7 +254,7 @@ class InputPipeline:
 
         def gen():
             base_key = jax.random.PRNGKey(self.seed)
-            steps_per_epoch = max(1, self.steps_per_epoch())
+            steps_per_epoch = self.steps_per_epoch()  # >= 1 (validated)
             try:
                 reader.reset(-1 if epochs is None else epochs)
                 step_total = 0

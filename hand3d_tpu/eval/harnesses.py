@@ -47,7 +47,14 @@ def _eval_batches(dataset, batch_size):
 _FUSED_CACHE = {}
 
 
-def _fused_step(cache_key, step_fn, pre, cfg):
+class _ProducerError:
+    """Queue sentinel carrying the IO thread's exception to the consumer."""
+
+    def __init__(self, exc):
+        self.exc = exc
+
+
+def _fused_step(step_fn, pre, cfg):
     """One jitted (params, raw) -> outputs function per (harness, config).
 
     The params are a jit ARGUMENT, not a baked-in closure constant, and the
@@ -56,7 +63,7 @@ def _fused_step(cache_key, step_fn, pre, cfg):
     instead of re-tracing the whole network with new weight constants
     every time.
     """
-    key = (cache_key, step_fn, pre, cfg)
+    key = (step_fn, pre, cfg)
     fused = _FUSED_CACHE.get(key)
     if fused is None:
         fused = jax.jit(lambda params, raw: step_fn(params, pre(cfg, raw)))
@@ -65,7 +72,7 @@ def _fused_step(cache_key, step_fn, pre, cfg):
 
 
 def _run(dataset, cfg, batch_size, step_fn, params, util_feed, progress=None,
-         mesh=None, window=3, max_batches=None, cache_key=()):
+         mesh=None, window=3, max_batches=None):
     """Stream the dataset through ``step_fn(params, data)`` with a fully
     pipelined loop:
 
@@ -105,7 +112,7 @@ def _run(dataset, cfg, batch_size, step_fn, params, util_feed, progress=None,
         per = batch_size // nproc
         lo = jax.process_index() * per
 
-    fused_pr = _fused_step(cache_key, step_fn, pre, cfg)
+    fused_pr = _fused_step(step_fn, pre, cfg)
 
     def fused(raw):
         return fused_pr(params, raw)
@@ -133,8 +140,13 @@ def _run(dataset, cfg, batch_size, step_fn, params, util_feed, progress=None,
         batches = batches[:max_batches]
 
     def producer():
-        for idx, valid in batches:
-            q.put((dataset.raw_batch(idx), valid))
+        try:
+            for idx, valid in batches:
+                q.put((dataset.raw_batch(idx), valid))
+        except BaseException as e:  # surface IO errors to the consumer,
+            # which would otherwise block in q.get() forever (and the
+            # training watchdog is suspended during in-training evals)
+            q.put((_ProducerError(e), 0))
 
     threading.Thread(target=producer, daemon=True).start()
 
@@ -153,8 +165,10 @@ def _run(dataset, cfg, batch_size, step_fn, params, util_feed, progress=None,
     drained = 0
     for _ in range(len(batches)):
         raw, valid = q.get()
+        if isinstance(raw, _ProducerError):
+            raise RuntimeError("eval IO producer thread failed") from raw.exc
         pending.append((fused(place(raw)), valid))
-        if len(pending) > window:
+        if len(pending) >= window:  # keep at most ``window`` in flight
             drain_one(drained)
             drained += 1
     while pending:

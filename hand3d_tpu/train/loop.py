@@ -158,7 +158,18 @@ def fit(
     watchdog = (
         _Watchdog(step_timeout, progress, log) if step_timeout else None
     )
-    it = pipeline.iterate(epochs=None)
+    # resume restarts the data stream WHERE the interrupted run left off:
+    # same epoch shuffle order and same per-step augmentation keys as an
+    # uninterrupted run (replaying from epoch 0 would oversample early
+    # epochs and break resumed-vs-straight-through determinism)
+    if start_step:
+        spe = pipeline.steps_per_epoch()
+        it = pipeline.iterate(
+            epochs=None, start_epoch=start_step // spe,
+            skip_steps=start_step % spe,
+        )
+    else:
+        it = pipeline.iterate(epochs=None)
     t0 = time.perf_counter()
     try:
         state = _run_loop(
@@ -227,8 +238,10 @@ def _run_loop(state, step_fn, it, base_key, start_step, max_iter, progress,
             loss_v = float(metrics["loss"])
             if not (loss_v == loss_v and abs(loss_v) != float("inf")):
                 # failure detection: save state for post-mortem, then stop
+                # (label i+1: the state already contains iteration i's
+                # update, and state.step == i + 1)
                 if snapshot_dir:
-                    checkpoints.save_snapshot(snapshot_dir, state, step=i)
+                    checkpoints.save_snapshot(snapshot_dir, state, step=i + 1)
                 raise FloatingPointError(
                     f"non-finite loss {loss_v} at iteration {i}"
                 )
@@ -239,7 +252,10 @@ def _run_loop(state, step_fn, it, base_key, start_step, max_iter, progress,
                 metrics_logger.log(step=i, loss=loss_v, steps_per_s=rate)
 
         if snapshot_dir and snapshot_freq and (i % snapshot_freq) == 0 and i > 0:
-            checkpoints.save_snapshot(snapshot_dir, state, step=i)
+            # label i+1 == state.step: the filename step must match the
+            # step counter inside (resume logs / checkpoint tooling
+            # select by it)
+            checkpoints.save_snapshot(snapshot_dir, state, step=i + 1)
             log("Saved a snapshot.")
 
         if eval_fn is not None and eval_freq and (i % eval_freq) == 0 and i > 0:

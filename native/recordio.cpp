@@ -42,6 +42,7 @@ struct Batch {
   std::vector<char> data;
   std::vector<int64_t> indices;
   int64_t count = 0;
+  int64_t serial = 0;  // claim order; delivery happens in serial order
 };
 
 struct Reader {
@@ -71,6 +72,12 @@ struct Reader {
   size_t next_pending = 0;
   int64_t epochs_left = 0;
   int64_t epoch = 0;
+  // in-order delivery: batches are claimed with increasing serials and
+  // rr_next hands them out strictly in serial order, so a fixed seed
+  // yields one reproducible stream regardless of worker-thread scheduling
+  int64_t next_claim = 0;
+  int64_t next_deliver = 0;
+  bool io_error = false;  // a short pread: surfaced as rr_next() == -1
 
   ~Reader() {
     shutdown();
@@ -112,12 +119,13 @@ struct Reader {
     ++epoch;
   }
 
-  bool claim_work(std::vector<int64_t>* out) {
+  bool claim_work(std::vector<int64_t>* out, int64_t* serial) {
     std::unique_lock<std::mutex> lock(mu);
     for (;;) {
       if (stopping.load()) return false;
       if (next_pending < pending.size()) {
         *out = pending[next_pending++];
+        *serial = next_claim++;
         return true;
       }
       if (epochs_left != 0) {
@@ -139,10 +147,20 @@ struct Reader {
   }
 
   void worker_main() {
+    // claim the buffer BEFORE the serial: a worker that holds a serial but
+    // no buffer could deadlock ordered delivery (the consumer waits for
+    // that serial while every buffer sits in `ready` holding later ones)
     std::vector<int64_t> work;
-    while (claim_work(&work)) {
+    for (;;) {
       Batch* b = claim_buffer();
-      if (b == nullptr) return;
+      if (b == nullptr) break;  // stopping
+      int64_t serial = 0;
+      if (!claim_work(&work, &serial)) {
+        std::lock_guard<std::mutex> lock(mu);
+        free_list.push_back(b);
+        break;
+      }
+      b->serial = serial;
       b->count = static_cast<int64_t>(work.size());
       b->indices.assign(work.begin(), work.end());
       char* dst = b->data.data();
@@ -160,10 +178,14 @@ struct Reader {
         if (ok) {
           ready.push_back(b);
         } else {
-          free_list.push_back(b);  // IO error: drop the batch
+          // a lost serial would wedge in-order delivery; flag the stream
+          // broken instead of silently dropping the batch
+          io_error = true;
+          free_list.push_back(b);
         }
       }
       cv_consume.notify_one();
+      if (!ok) break;
     }
     // this worker is done; the stream is done once every worker has
     // finished (a peer may still be copying its final claimed batch)
@@ -172,6 +194,7 @@ struct Reader {
       if (--active_workers == 0) done = true;
     }
     cv_consume.notify_all();
+    cv_produce.notify_all();  // peers waiting for buffers must re-check
   }
 
   void start_workers(int64_t epochs) {
@@ -184,6 +207,9 @@ struct Reader {
       epochs_left = epochs < 0 ? -1 : epochs;
       // note: epochs_left semantics — -1 streams forever; N arms N passes
       if (epochs_left > 0) --epochs_left;
+      next_claim = 0;
+      next_deliver = 0;
+      io_error = false;
       build_pending_locked();
       ready.clear();
       free_list.assign(all_batches.begin(), all_batches.end());
@@ -241,13 +267,26 @@ int64_t rr_next(void* handle, char* out_buf, int64_t* out_indices) {
   Batch* b = nullptr;
   {
     std::unique_lock<std::mutex> lock(r->mu);
+    auto has_next = [&] {
+      for (Batch* x : r->ready) {
+        if (x->serial == r->next_deliver) return true;
+      }
+      return false;
+    };
     r->cv_consume.wait(lock, [&] {
-      return r->stopping.load() || !r->ready.empty() ||
+      return r->stopping.load() || r->io_error || has_next() ||
              (r->done && r->ready.empty());
     });
-    if (r->ready.empty()) return 0;  // drained or stopping
-    b = r->ready.front();
-    r->ready.pop_front();
+    if (r->io_error) return -1;  // broken stream (short pread)
+    if (r->stopping.load() || !has_next()) return 0;  // drained/stopping
+    for (auto it = r->ready.begin(); it != r->ready.end(); ++it) {
+      if ((*it)->serial == r->next_deliver) {
+        b = *it;
+        r->ready.erase(it);
+        break;
+      }
+    }
+    ++r->next_deliver;
   }
   int64_t n = b->count;
   std::memcpy(out_buf, b->data.data(),

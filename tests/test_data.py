@@ -366,3 +366,82 @@ def test_multihost_without_sharding_rejected(rhd_left, monkeypatch):
     # explicit opt-in still allowed
     pipe = InputPipeline(rhd_left, cfg, batch_size=1, process_shard=(0, 2))
     assert pipe.steps_per_epoch() == 2
+
+
+def test_pipeline_resume_matches_straight_through(rhd_left):
+    """iterate(start_epoch=, skip_steps=) yields exactly the tail of an
+    uninterrupted stream — same shuffle order AND same augmentation keys
+    (what train.loop.fit relies on for exact --resume)."""
+    cfg = PreprocessConfig(hand_crop=True, coord_uv_noise=True)
+    pipe = InputPipeline(rhd_left, cfg, batch_size=2, shuffle=True, seed=7)
+    spe = pipe.steps_per_epoch()
+    assert spe == 2
+    straight = list(pipe.iterate(epochs=3))  # 6 steps
+    resumed = list(pipe.iterate(epochs=2, start_epoch=1, skip_steps=1))
+    assert len(resumed) == len(straight) - 3
+    for a, b in zip(straight[3:], resumed):
+        np.testing.assert_array_equal(
+            np.asarray(a["image_crop"]), np.asarray(b["image_crop"]))
+        np.testing.assert_array_equal(
+            np.asarray(a["keypoint_uv21"]), np.asarray(b["keypoint_uv21"]))
+
+
+def test_pipeline_producer_error_propagates(rhd_left, monkeypatch):
+    """An IO failure on the producer thread must raise in the consumer,
+    not leave it blocked in q.get() forever."""
+    import pytest
+
+    cfg = PreprocessConfig(hand_crop=True)
+    pipe = InputPipeline(rhd_left, cfg, batch_size=2, shuffle=False, seed=0)
+    calls = {"n": 0}
+    real = rhd_left.raw_batch
+
+    def flaky(idx):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise OSError("disk on fire")
+        return real(idx)
+
+    monkeypatch.setattr(rhd_left, "raw_batch", flaky)
+    it = pipe.iterate(epochs=1)
+    next(it)  # first batch fine
+    with pytest.raises(RuntimeError, match="producer thread failed"):
+        for _ in it:
+            pass
+
+
+def test_native_reader_delivers_deterministic_order(tmp_path):
+    """The C++ streamer must yield one reproducible batch order for a fixed
+    seed regardless of worker-thread completion order."""
+    from fixtures import make_rhd_bin
+
+    path = str(tmp_path / "rhd16.bin")
+    make_rhd_bin(path, num_records=16)
+    ds = RHDDataset("evaluation", path=path)
+    try:
+        from hand3d_tpu.data.native import NativeRecordReader, NativeUnavailable
+    except Exception:
+        pytest.skip("native bindings unavailable")
+
+    def stream(seed):
+        try:
+            r = NativeRecordReader(path, ds.records.dtype, 2, shuffle=True,
+                                   seed=seed, num_threads=2,
+                                   queue_capacity=3)
+        except NativeUnavailable as e:
+            pytest.skip(f"native streamer unavailable: {e}")
+        try:
+            r.reset(2)  # two epochs
+            order = []
+            while True:
+                item = r.next_batch()
+                if item is None:
+                    return order
+                order.append(tuple(item[1]))
+        finally:
+            r.close()
+
+    a, b = stream(5), stream(5)
+    assert len(a) == 16  # 16 records / batch 2 x 2 epochs
+    assert a == b
+    assert stream(6) != a  # seed actually matters

@@ -164,10 +164,23 @@ def test_harness_reuses_compiled_step_across_calls(rhd):
     m1 = eval3d_lifting("direct", p1, rhd, batch_size=2, max_batches=1)
     step_fn = H._variant_step(H._step_lifting, "direct")
     fused = next(H._FUSED_CACHE[k] for k in H._FUSED_CACHE
-                 if k[1] is step_fn)
+                 if k[0] is step_fn)
     size_after_first = len(H._FUSED_CACHE)
     n_compiles = fused._cache_size()
     m2 = eval3d_lifting("direct", p2, rhd, batch_size=2, max_batches=1)
     assert len(H._FUSED_CACHE) == size_after_first  # wrapper reused
     assert fused._cache_size() == n_compiles  # no new trace/compile
     assert m1["epe_mean_mm"] != m2["epe_mean_mm"]  # params actually differ
+
+
+def test_harness_producer_error_propagates(rhd, monkeypatch):
+    """IO failures on the eval producer thread must raise, not hang the
+    harness (whose caller may have the training watchdog suspended)."""
+    params = {posenet.SCOPE: posenet.init(jax.random.PRNGKey(0))}
+
+    def boom(idx):
+        raise OSError("truncated record file")
+
+    monkeypatch.setattr(rhd, "raw_batch", boom)
+    with pytest.raises(RuntimeError, match="producer thread failed"):
+        eval2d_gt_cropped(params, rhd, batch_size=2)

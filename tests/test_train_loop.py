@@ -489,3 +489,72 @@ def test_remat_policy_matches_plain_step():
     np.testing.assert_allclose(run(remat="dots_saveable"), run(), atol=1e-6)
     with pytest.raises(AssertionError, match="unknown remat policy"):
         run(remat="not_a_policy")
+
+
+def test_resume_matches_uninterrupted_run(tmp_path):
+    """Exact resume: stop at step 3, resume to 6 — final params must be
+    BITWISE identical to a straight 6-step run (same data order, same
+    augmentation keys, same per-step train keys after the restart)."""
+    dataset = _dataset(tmp_path)
+    cfg = PreprocessConfig(hand_crop=True, use_wrist_coord=False,
+                           coord_uv_noise=True)
+
+    def loss_fn(params, batch, key):
+        preds = posenet.apply(params[posenet.SCOPE], batch["image_crop"])
+        return posenet_scoremap_loss(
+            preds, batch["scoremap"], batch["keypoint_vis21"])
+
+    def fresh():
+        return ({posenet.SCOPE: posenet.init(jax.random.PRNGKey(0))},
+                make_optimizer([1e-4], []),
+                InputPipeline(dataset, cfg, batch_size=2, seed=0))
+
+    params, optimizer, pipeline = fresh()
+    straight = fit(
+        loss_fn, params, optimizer, pipeline, max_iter=6,
+        snapshot_dir=str(tmp_path / "a"), snapshot_freq=0,
+        show_loss_freq=0, log=lambda *a: None,
+    )
+
+    params, optimizer, pipeline = fresh()
+    snap_dir = str(tmp_path / "b")
+    fit(loss_fn, params, optimizer, pipeline, max_iter=3,
+        snapshot_dir=snap_dir, snapshot_freq=0, show_loss_freq=0,
+        log=lambda *a: None)
+    params, optimizer, pipeline = fresh()
+    resumed = fit(
+        loss_fn, params, optimizer, pipeline, max_iter=6,
+        snapshot_dir=snap_dir, snapshot_freq=0, resume=True,
+        show_loss_freq=0, log=lambda *a: None,
+    )
+
+    assert int(straight.step) == int(resumed.step) == 6
+    for a, b in zip(jax.tree_util.tree_leaves(straight.params),
+                    jax.tree_util.tree_leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_snapshot_label_matches_contained_step(tmp_path):
+    """snapshot-<N> must contain state.step == N (periodic saves happen
+    after the step's update, so the label is i+1, not i)."""
+    from hand3d_tpu.train.checkpoints import restore_snapshot
+
+    dataset = _dataset(tmp_path)
+    cfg = PreprocessConfig(hand_crop=True, use_wrist_coord=False)
+    pipeline = InputPipeline(dataset, cfg, batch_size=2, seed=0)
+    params = {posenet.SCOPE: posenet.init(jax.random.PRNGKey(0))}
+    optimizer = make_optimizer([1e-4], [])
+
+    def loss_fn(params, batch, key):
+        preds = posenet.apply(params[posenet.SCOPE], batch["image_crop"])
+        return posenet_scoremap_loss(
+            preds, batch["scoremap"], batch["keypoint_vis21"])
+
+    snap_dir = str(tmp_path / "snaps")
+    fit(loss_fn, params, optimizer, pipeline, max_iter=3,
+        snapshot_dir=snap_dir, snapshot_freq=2, show_loss_freq=0,
+        log=lambda *a: None)
+    template = init_state(params, optimizer)
+    for step, path in sorted_snapshots(snap_dir):
+        restored = restore_snapshot(path, template)
+        assert int(restored.step) == step, (step, path)
