@@ -162,7 +162,11 @@ def _hand_crop_features(cfg, keys, image, uv21, vis21, cam_mat, image_size):
         ],
         axis=-2,
     )
-    cam_mat_new = trans_mat @ scale_mat @ cam_mat
+    # exact f32: the TPU default matmul precision would round the
+    # intrinsics through bf16 (~1% relative — several pixels of focal
+    # length), corrupting every projection made with the cropped-frame K
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    cam_mat_new = mm(trans_mat, mm(scale_mat, cam_mat))
     return {
         "crop_scale": scale,
         "image_crop": image_crop,
@@ -319,6 +323,13 @@ def preprocess_rhd(cfg, raw, key=None):
 # --- STB ---------------------------------------------------------------------
 
 
+def _extrapolate_wrist(arr):
+    """STB stores the palm at kp0; the wrist is extrapolated past it:
+    kp0' = kp16 + 2*(kp0 - kp16) (BinaryDbReaderSTB.py:131-154)."""
+    wrist = arr[:, 16] + 2.0 * (arr[:, 0] - arr[:, 16])
+    return jnp.concatenate([wrist[:, None], arr[:, 1:]], axis=1)
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def preprocess_stb(cfg, raw, key=None):
     """STB raw record batch -> feature dict (BinaryDbReaderSTB.py:96-343).
@@ -339,12 +350,8 @@ def preprocess_stb(cfg, raw, key=None):
     vis21 = uv_vis[:, :, 2] == 1.0
 
     if cfg.use_wrist_coord:
-        def extrapolate_wrist(arr):
-            wrist = arr[:, 16] + 2.0 * (arr[:, 0] - arr[:, 16])
-            return jnp.concatenate([wrist[:, None], arr[:, 1:]], axis=1)
-
-        kp_xyz21 = extrapolate_wrist(kp_xyz21)
-        uv21 = extrapolate_wrist(uv21)
+        kp_xyz21 = _extrapolate_wrist(kp_xyz21)
+        uv21 = _extrapolate_wrist(uv21)
         wrist_vis = vis21[:, 16] | vis21[:, 0]
         vis21 = jnp.concatenate([wrist_vis[:, None], vis21[:, 1:]], axis=1)
 
@@ -379,8 +386,7 @@ def preprocess_stb(cfg, raw, key=None):
         if not cfg.use_wrist_coord:
             # the reference still extrapolates a wrist for crop extents
             # (BinaryDbReaderSTB.py:228-231)
-            wrist = uv21[:, 16] + 2.0 * (uv21[:, 0] - uv21[:, 16])
-            uv_for_crop = jnp.concatenate([wrist[:, None], uv21[:, 1:]], axis=1)
+            uv_for_crop = _extrapolate_wrist(uv21)
         crop = _hand_crop_features(
             cfg, ks[2:5], image, uv_for_crop, vis21, cam_mat, STB_IMAGE_SIZE
         )

@@ -134,7 +134,9 @@ def lift_to_relative(coord_can, rot_mat, hand_side):
     """
     cond_right = jnp.argmax(hand_side, axis=1) == 1
     coord_flip = flip_right_hand(coord_can, cond_right[:, None, None])
-    return jnp.matmul(coord_flip, rot_mat)
+    # exact f32 (the TPU default would round the 3x3 rotation through bf16)
+    return jnp.matmul(coord_flip, rot_mat,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 class LiftingOutput(NamedTuple):

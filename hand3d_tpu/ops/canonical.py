@@ -6,10 +6,20 @@ this per-sample inside the TF graph; here it is a pure batched function of
 pipeline (ground-truth generation) and in model losses.
 """
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from hand3d_tpu.ops.numerics import PI, atan2_safe
 from hand3d_tpu.ops.rotations import rot_mat_x, rot_mat_y, rot_mat_z
+
+# exact f32 for the batched 3x3/4x4 geometry algebra: the TPU default
+# matmul precision rounds f32 operands through bf16 MXU passes (~1e-3
+# relative), which would silently break the bit-parity these transforms
+# promise; the matrices are tiny, so exact precision costs nothing.
+_mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
 
 ROOT_NODE_ID = 0  # palm keypoint, placed at the origin
 ALIGN_NODE_ID = 12  # beginning of middle finger, placed on the y axis
@@ -35,22 +45,22 @@ def canonical_trafo(coords_xyz):
     p = coords_t[:, ALIGN_NODE_ID, :]
     alpha = atan2_safe(p[:, 0], p[:, 1])
     rot = rot_mat_z(alpha)
-    coords_r1 = jnp.matmul(coords_t, rot)
+    coords_r1 = _mm(coords_t, rot)
     total = rot
 
     # 2b. rotate it within the yz-plane onto the (negative) y axis
     p = coords_r1[:, ALIGN_NODE_ID, :]
     beta = -atan2_safe(p[:, 2], p[:, 1])
     rot = rot_mat_x(beta + PI)
-    coords_r2 = jnp.matmul(coords_r1, rot)
-    total = jnp.matmul(total, rot)
+    coords_r2 = _mm(coords_r1, rot)
+    total = _mm(total, rot)
 
     # 3. fix the remaining rotation about y using the rot-node
     p = coords_r2[:, ROT_NODE_ID, :]
     gamma = atan2_safe(p[:, 2], p[:, 0])
     rot = rot_mat_y(gamma)
-    coords_normed = jnp.matmul(coords_r2, rot)
-    total = jnp.matmul(total, rot)
+    coords_normed = _mm(coords_r2, rot)
+    total = _mm(total, rot)
 
     return coords_normed, total
 

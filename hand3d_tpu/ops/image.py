@@ -18,6 +18,7 @@ shape-static XLA equivalents:
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -57,7 +58,12 @@ def resize_bilinear(x, out_hw, align_corners=False):
         wt = wt[None, None, :, None]
         x = jnp.take(x, lo, axis=2) * (1.0 - wt) + jnp.take(x, hi, axis=2) * wt
 
-    x = x.astype(dtype) if dtype != jnp.float32 else x
+    # preserve reduced-precision float inputs (bf16 compute path) but keep
+    # integer inputs as float32 — TF1 resize_images always returns float,
+    # and truncating interpolated uint8 values would silently lose the
+    # fractional part
+    if dtype != jnp.float32 and jnp.issubdtype(dtype, jnp.floating):
+        x = x.astype(dtype)
     return x[0] if squeeze else x
 
 
@@ -84,8 +90,13 @@ def _axis_sample(x, axis, in_size, lo_f, frac, valid, extrapolation_value):
     w = jnp.where(valid[:, :, None], w, 0.0).astype(x.dtype)
 
     x_moved = jnp.moveaxis(x, axis, 1)  # [B, in, ...]
+    # Precision.HIGHEST: at the TPU default this einsum would round the f32
+    # pixels through bf16 MXU passes (~1e-2 abs error on N(0,1) images),
+    # breaking the TF-parity contract of the crop; with two taps per row
+    # the matmul is thin, so exact f32 costs nothing measurable.
     out = jnp.einsum("boi,bi...->bo...", w, x_moved,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     if extrapolation_value != 0.0:
         fill = jnp.where(valid, 0.0, extrapolation_value)  # [B, out]
         out = out + fill.reshape(fill.shape + (1,) * (out.ndim - 2))

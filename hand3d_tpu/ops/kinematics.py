@@ -11,10 +11,21 @@ TPU:
     trace time (it is a static DAG), so XLA sees one straight-line program.
 """
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from hand3d_tpu.ops.numerics import atan2_safe
 from hand3d_tpu.ops.rotations import rot_mat_x_hom, rot_mat_y_hom, trans_mat_z_hom
+
+# exact f32 for the batched 3x3/4x4 geometry algebra: the TPU default
+# matmul precision rounds f32 operands through bf16 MXU passes (~1e-3
+# relative), which would silently break the bit-parity these transforms
+# promise; the matrices are tiny, so exact precision costs nothing.
+_mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+_mv = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
 
 # child -> parent map of the 21-joint hand (relative_trafo.py:148-173)
 KINEMATIC_CHAIN_DICT = {
@@ -50,14 +61,14 @@ def _articulation_from_delta(delta_xyz, T):
 
     # rotate the bone into the yz-plane; then x-angle from the remaining tilt
     delta_h = jnp.concatenate([delta_xyz, jnp.ones_like(delta_xyz[:, :1])], axis=-1)
-    tmp = jnp.einsum("bij,bj->bi", rot_mat_y_hom(-angle_y), delta_h)
+    tmp = _mv("bij,bj->bi", rot_mat_y_hom(-angle_y), delta_h)
     angle_x = atan2_safe(-tmp[:, 1], tmp[:, 2])
 
-    T_this = jnp.matmul(
+    T_this = _mm(
         trans_mat_z_hom(-length),
-        jnp.matmul(rot_mat_x_hom(-angle_x), rot_mat_y_hom(-angle_y)),
+        _mm(rot_mat_x_hom(-angle_x), rot_mat_y_hom(-angle_y)),
     )
-    T = jnp.matmul(T_this, T)
+    T = _mm(T_this, T)
     return length, angle_x, angle_y, T
 
 
@@ -90,8 +101,8 @@ def bone_rel_trafo(coords_xyz):
             # bone vector expressed in the parent's local frame
             parent_h = jnp.concatenate([coords_xyz[:, parent_id, :], ones], -1)
             child_h = jnp.concatenate([coords_xyz[:, bone_id, :], ones], -1)
-            x_p = jnp.einsum("bij,bj->bi", T, parent_h)
-            x_c = jnp.einsum("bij,bj->bi", T, child_h)
+            x_p = _mv("bij,bj->bi", T, parent_h)
+            x_c = _mv("bij,bj->bi", T, child_h)
             delta = (x_c - x_p)[:, :3]
 
         length, ax, ay, T = _articulation_from_delta(delta, T)
@@ -131,16 +142,16 @@ def bone_rel_trafo_inv(coords_rel):
         ay = coords_rel[:, bone_id, 2]
 
         # T_this = Trans(-l) Rx(-ax) Ry(-ay)  (relative_trafo.py:108)
-        T_this = jnp.matmul(
+        T_this = _mm(
             trans_mat_z_hom(-length),
-            jnp.matmul(rot_mat_x_hom(-ax), rot_mat_y_hom(-ay)),
+            _mm(rot_mat_x_hom(-ax), rot_mat_y_hom(-ay)),
         )
         # closed-form inverse: Ry(ay) Rx(ax) Trans(l)
-        T_this_inv = jnp.matmul(
-            rot_mat_y_hom(ay), jnp.matmul(rot_mat_x_hom(ax), trans_mat_z_hom(length))
+        T_this_inv = _mm(
+            rot_mat_y_hom(ay), _mm(rot_mat_x_hom(ax), trans_mat_z_hom(length))
         )
-        T = jnp.matmul(T_this, T)
-        Tinv = jnp.matmul(Tinv, T_this_inv)
+        T = _mm(T_this, T)
+        Tinv = _mm(Tinv, T_this_inv)
 
         # joint position = Tinv @ [0,0,0,1]^T = translation column of Tinv
         xyz[bone_id] = Tinv[:, :3, 3]

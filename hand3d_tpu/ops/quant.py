@@ -66,7 +66,8 @@ def is_quantized(params):
     return isinstance(params, dict) and "weights_q" in params
 
 
-def quantize_params_int8(params, min_in_chan=128):
+def quantize_params_int8(params, min_in_chan=128,
+                         skip_substrings=("upconv", "deconv")):
     """Rewrite {"weights", "biases"} layer dicts in a param pytree into the
     int8 layout ({"weights_q", "weight_scale", "biases"}). Idempotent.
 
@@ -78,6 +79,12 @@ def quantize_params_int8(params, min_in_chan=128):
     cascade speedup, selective quantization keeps the ~1.8x on the wide
     layers). 128 keeps conv3_1 onwards + the PoseNet refiners + all FC
     layers quantized. Pass 0 to quantize everything.
+
+    ``skip_substrings``: subtrees whose key matches stay float. Defaults to
+    transposed-conv names: their kernels use the [kh, kw, OUT, IN] layout
+    (so the channel gate and per-output-channel scales would read the
+    wrong axes), and nn.conv2d_transpose dequantizes before computing
+    anyway — quantizing them adds rounding noise for zero speed win.
     """
     if isinstance(params, dict):
         if "weights" in params and "biases" in params:
@@ -94,7 +101,9 @@ def quantize_params_int8(params, min_in_chan=128):
         if is_quantized(params):
             return dict(params)
         return {
-            k: quantize_params_int8(v, min_in_chan) for k, v in params.items()
+            k: (v if any(s in k for s in skip_substrings)
+                else quantize_params_int8(v, min_in_chan, skip_substrings))
+            for k, v in params.items()
         }
     return params
 
@@ -129,7 +138,8 @@ def fake_quant_act(x):
     return _ste(x, q)
 
 
-def qat_view(params, min_in_chan=128):
+def qat_view(params, min_in_chan=128,
+             skip_substrings=("upconv", "deconv")):
     """Quantization-aware-training view of a param tree.
 
     Renames each eligible layer's "weights" to "weights_fq" (arrays are
@@ -137,8 +147,14 @@ def qat_view(params, min_in_chan=128):
     dense dispatch on that key and apply fake_quant_weights +
     fake_quant_act before a float conv/matmul. Because the int8 kernel is
     linear, conv(QDQ(x), QDQ(w)) == dequant(conv(quant(x), quant(w))) up
-    to accumulation dtype, so training sees EXACTLY the deployed int8
-    numerics. Same ``min_in_chan`` selectivity as quantize_params_int8.
+    to the accumulation/rounding of the float conv itself — bit-exact at
+    f32 accumulation (the unit tests assert forward == PTQ on CPU); on
+    TPU the deployed path accumulates int8xint8 in exact int32 while the
+    QAT conv inherits the float conv's MXU rounding, so training numerics
+    match deployment up to that hardware rounding, not bitwise. Same
+    ``min_in_chan``/``skip_substrings`` selectivity as
+    quantize_params_int8 (the two MUST agree so training and deployment
+    quantize the same layer set).
 
     Usage (wrap the loss; params/optimizer stay float):
         loss_qat = lambda p, batch, key: loss_fn(qat_view(p), batch, key)
@@ -152,7 +168,9 @@ def qat_view(params, min_in_chan=128):
             if in_chan < min_in_chan:
                 return params
             return {"weights_fq": w, "biases": params["biases"]}
-        return {k: qat_view(v, min_in_chan) for k, v in params.items()}
+        return {k: (v if any(s in k for s in skip_substrings)
+                    else qat_view(v, min_in_chan, skip_substrings))
+                for k, v in params.items()}
     return params
 
 
