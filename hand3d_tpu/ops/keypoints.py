@@ -62,18 +62,28 @@ def decode_upsampled(scoremap, factor, method="auto"):
     method "pallas" computes it without materializing the upsampled map
     (ops/pallas/decode.py; ~350 MB of HBM traffic saved per 32-batch at
     32->256); "xla" is resize_bilinear + detect_keypoints_2d. Both are
-    bit-identical (tested, including argmax tie-breaks).
+    bit-identical (tested, including argmax tie-breaks). "auto" resolves
+    per LOWERING platform (lax.platform_dependent), so cross-device jits
+    and multi-platform exports each get the right path from one trace.
     """
-    if method == "auto":
-        method = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if method == "pallas":
+
+    def _pallas(scoremap):
         from hand3d_tpu.ops.pallas.decode import decode_keypoints_upsampled_pallas
 
         return decode_keypoints_upsampled_pallas(scoremap, factor)
-    from hand3d_tpu.ops.image import resize_bilinear
 
-    b, h, w, _ = scoremap.shape
-    return detect_keypoints_2d(resize_bilinear(scoremap, (h * factor, w * factor)))
+    def _xla(scoremap):
+        from hand3d_tpu.ops.image import resize_bilinear
+
+        _, h, w, _ = scoremap.shape
+        return detect_keypoints_2d(
+            resize_bilinear(scoremap, (h * factor, w * factor)))
+
+    if method == "pallas":
+        return _pallas(scoremap)
+    if method == "xla":
+        return _xla(scoremap)
+    return jax.lax.platform_dependent(scoremap, tpu=_pallas, default=_xla)
 
 
 def trafo_coords(keypoints_crop_coords, centers, scale, crop_size):

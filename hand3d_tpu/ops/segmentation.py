@@ -56,37 +56,46 @@ def single_obj_scoremap(scoremap, num_passes=None, method="auto"):
         max(H, W) // 10 (general.py:256).
       method: "pallas" (VMEM-resident flood-fill kernel with early exit,
         see ops/pallas/floodfill.py), "xla" (fori_loop over separable
-        reduce_windows), or "auto" (pallas on TPU, xla elsewhere).
+        reduce_windows), or "auto" (resolved per LOWERING platform via
+        lax.platform_dependent — pallas on TPU, xla elsewhere — so one
+        trace serves cross-device jits and multi-platform AOT exports;
+        the process-global default_backend() would pick the pallas path
+        even for programs jitted onto a CPU device of a TPU process).
     Returns:
       [B, H, W, 1] float32 binary object map.
     """
     b, h, w, c = scoremap.shape
     if num_passes is None:
         num_passes = max(h, w) // (_DILATION_FILTER_SIZE // 2)
-    if method == "auto":
-        method = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     probs = jax.nn.softmax(scoremap, axis=-1)
     fg = jnp.max(probs[..., 1:], axis=-1)  # [B, H, W]
     detmap = jnp.round(fg)
     max_loc = find_max_location(fg)  # [B, 2]
 
-    if method == "pallas":
+    def _pallas(detmap, max_loc):
         from hand3d_tpu.ops.pallas.floodfill import flood_fill_pallas
 
         return flood_fill_pallas(detmap, max_loc, num_passes)[..., None]
 
-    rows = jnp.arange(h, dtype=jnp.int32)[None, :, None]
-    cols = jnp.arange(w, dtype=jnp.int32)[None, None, :]
-    seed = (
-        (rows == max_loc[:, 0:1, None]) & (cols == max_loc[:, None, 1:2])
-    ).astype(jnp.float32)
+    def _xla(detmap, max_loc):
+        rows = jnp.arange(h, dtype=jnp.int32)[None, :, None]
+        cols = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+        seed = (
+            (rows == max_loc[:, 0:1, None]) & (cols == max_loc[:, None, 1:2])
+        ).astype(jnp.float32)
 
-    def body(_, obj):
-        return detmap * _maxpool_same(obj, _DILATION_FILTER_SIZE)
+        def body(_, obj):
+            return detmap * _maxpool_same(obj, _DILATION_FILTER_SIZE)
 
-    obj = jax.lax.fori_loop(0, num_passes, body, seed)
-    return obj[..., None]
+        return jax.lax.fori_loop(0, num_passes, body, seed)[..., None]
+
+    if method == "pallas":
+        return _pallas(detmap, max_loc)
+    if method == "xla":
+        return _xla(detmap, max_loc)
+    return jax.lax.platform_dependent(detmap, max_loc,
+                                      tpu=_pallas, default=_xla)
 
 
 def calc_center_bb(binary_class_mask):
