@@ -48,7 +48,7 @@ def export_estimator(params, path=None, *, batch_size=16, input_hw=(240, 320),
     Returns the artifact bytes; also writes them to ``path`` if given.
     """
     from hand3d_tpu.models.cascade import ColorHandPose3D
-    from hand3d_tpu.serving import prepare_params
+    from hand3d_tpu.serving import prepare_params, select_serving_outputs
 
     params = prepare_params(params, quantize, phase_pack)
     net = ColorHandPose3D(compute_dtype=compute_dtype, seg_scale=seg_scale)
@@ -59,14 +59,7 @@ def export_estimator(params, path=None, *, batch_size=16, input_hw=(240, 320),
     )
 
     def fwd(image):
-        out = net.inference(params, image, hand_side)
-        return {
-            "keypoint_coord3d": out.keypoint_coord3d,
-            "keypoint_uv21": out.keypoint_uv21,
-            "hand_scoremap": out.hand_scoremap,
-            "scale_crop": out.scale_crop,
-            "center": out.center,
-        }
+        return select_serving_outputs(net.inference(params, image, hand_side))
 
     image_spec = jax.ShapeDtypeStruct(
         (batch_size, *input_hw, 3), jnp.float32

@@ -141,11 +141,22 @@ class ColorHandPose3D:
         _, h, w, _ = image.shape
         sh, sw = hand_scoremap.shape[1:3]
         hand_mask = single_obj_scoremap(hand_scoremap)
-        center, _, crop_size_best = calc_center_bb(hand_mask)
         if (sh, sw) != (h, w):
+            # empty-mask fallbacks are defined in FULL-IMAGE pixels
+            # (general.py:311-320); pre-divide them by the upsample factors
+            # so the scaling below restores the reference constants instead
+            # of pushing the fallback crop outside the image
+            fmax = max(h / sh, w / sw)
+            center, _, crop_size_best = calc_center_bb(
+                hand_mask,
+                fallback_center=(160.0 * sh / h, 160.0 * sw / w),
+                fallback_size=100.0 / fmax,
+            )
             factors = jnp.array([h / sh, w / sw], center.dtype)
             center = center * factors
             crop_size_best = crop_size_best * jnp.max(factors)
+        else:
+            center, _, crop_size_best = calc_center_bb(hand_mask)
         crop_size_best = crop_size_best * 1.25
         scale_crop = jnp.clip(CROP_SIZE / crop_size_best, 0.25, 5.0)  # [B, 1]
         image_crop = crop_image_from_xy(image, center, CROP_SIZE, scale_crop[:, 0])
@@ -162,7 +173,6 @@ class ColorHandPose3D:
         """
         factor = CROP_SIZE // scoremap_small.shape[1]
         if self.decode == "soft_argmax":
-            from hand3d_tpu.ops.image import resize_bilinear
             from hand3d_tpu.ops.keypoints import soft_argmax_2d
 
             coord_hw_crop = soft_argmax_2d(

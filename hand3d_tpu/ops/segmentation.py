@@ -98,13 +98,17 @@ def single_obj_scoremap(scoremap, num_passes=None, method="auto"):
                                       tpu=_pallas, default=_xla)
 
 
-def calc_center_bb(binary_class_mask):
+def calc_center_bb(binary_class_mask, fallback_center=(160.0, 160.0),
+                   fallback_size=100.0):
     """Bounding box, center, and square crop size of a binary mask.
 
     Mirrors utils/general.calc_center_bb (:271-328) with where-masked
     reductions instead of boolean_mask + per-sample loops. An empty mask
     yields non-finite intermediates exactly like the reference and triggers
-    the same fallbacks (center (160, 160), crop size 100).
+    the same fallbacks — center (160, 160), crop size 100 by default;
+    callers operating on a downscaled mask pass pre-scaled fallbacks so
+    the values land on the reference constants after mapping back to
+    full-image coordinates (models/cascade.py seg_scale).
 
     Args:
       binary_class_mask: [B, H, W] or [B, H, W, 1]; nonzero == foreground.
@@ -134,9 +138,11 @@ def calc_center_bb(binary_class_mask):
 
     center = 0.5 * (start + end)
     center_ok = jnp.all(jnp.isfinite(center), axis=1, keepdims=True)
-    center = jnp.where(center_ok, center, jnp.array([160.0, 160.0]))
+    center = jnp.where(center_ok, center,
+                       jnp.asarray(fallback_center, jnp.float32))
 
     crop_size = jnp.maximum(x_max - x_min, y_max - y_min)[:, None]
-    crop_size = jnp.where(jnp.isfinite(crop_size), crop_size, 100.0)
+    crop_size = jnp.where(jnp.isfinite(crop_size), crop_size,
+                          jnp.float32(fallback_size))
 
     return center, bb, crop_size

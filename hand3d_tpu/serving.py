@@ -36,6 +36,19 @@ def prepare_params(params, quantize=None, phase_pack=False):
     return params
 
 
+def select_serving_outputs(out):
+    """The served subset of a CascadeOutput — ONE definition shared by the
+    live estimator and the AOT exporter so the two predict() contracts
+    cannot drift apart."""
+    return {
+        "keypoint_coord3d": out.keypoint_coord3d,
+        "keypoint_uv21": out.keypoint_uv21,
+        "hand_scoremap": out.hand_scoremap,
+        "scale_crop": out.scale_crop,
+        "center": out.center,
+    }
+
+
 def chunked_predict(run_chunk, images, batch_size):
     """Shared batched-predict contract: chunk ``images`` into fixed-size
     batches (zero-padding the last), dispatch EVERY chunk before fetching
@@ -124,14 +137,9 @@ class HandPoseEstimator:
 
         @jax.jit
         def _fwd(params, image, hand_side):
-            out = self.net.inference(params, image, hand_side)
-            return {
-                "keypoint_coord3d": out.keypoint_coord3d,
-                "keypoint_uv21": out.keypoint_uv21,
-                "hand_scoremap": out.hand_scoremap,
-                "scale_crop": out.scale_crop,
-                "center": out.center,
-            }
+            return select_serving_outputs(
+                self.net.inference(params, image, hand_side)
+            )
 
         self._fwd = _fwd
 

@@ -32,6 +32,9 @@ def save_snapshot(directory, state, step=None, keep=1):
     device arrays — the very operation a wedged device hangs in) happens
     before the final file ever exists.
     """
+    assert keep >= 1, (
+        f"keep={keep}: the snapshot being written must survive its own prune"
+    )
     os.makedirs(directory, exist_ok=True)
     step = int(step if step is not None else state.step)
     path = os.path.join(directory, f"snapshot-{step}.msgpack")
@@ -42,9 +45,20 @@ def save_snapshot(directory, state, step=None, keep=1):
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
-    snaps = sorted_snapshots(directory)
-    for old_step, old_path in snaps[:-keep]:
+    # prune by step, but NEVER the snapshot just written — a stale
+    # higher-step file from a longer prior run must not outlive it (it
+    # would both delete this save and hijack the next --resume)
+    others = [p for _, p in sorted_snapshots(directory) if p != path]
+    for old_path in others[: max(0, len(others) - (keep - 1))]:
         os.remove(old_path)
+    # sweep orphaned .tmp files left by hard kills mid-save (the prune
+    # regex never matches them); safe under the loop's single-writer use
+    for name in os.listdir(directory):
+        if name.endswith(".msgpack.tmp"):
+            try:
+                os.remove(os.path.join(directory, name))
+            except OSError:
+                pass
     return path
 
 

@@ -186,3 +186,29 @@ def test_cascade_odd_input_dims(rng):
     out = net.inference(params, image, jnp.asarray([[1.0, 0.0]]))
     assert out.hand_scoremap.shape == (1, 101, 131, 2)
     assert out.keypoint_coord3d.shape == (1, 21, 3)
+
+
+def test_seg_scale_empty_mask_fallback_matches_full_res():
+    """With no detectable hand, the downscaled-localization preset must
+    fall back to the same full-image crop as seg_scale=1.0 (the reference
+    constants center (160,160) / size 100 are full-image pixels)."""
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+
+    image = jnp.zeros((2, 240, 320, 3), jnp.float32)
+    # all-background logits -> empty foreground mask at any resolution
+    empty_full = jnp.concatenate(
+        [jnp.full((2, 240, 320, 1), 10.0), jnp.full((2, 240, 320, 1), -10.0)],
+        axis=-1)
+    empty_half = empty_full[:, ::2, ::2]
+
+    full = ColorHandPose3D(seg_scale=1.0)
+    half = ColorHandPose3D(seg_scale=0.5)
+    _, scale_f, center_f = full._crop_from_scoremap(image, empty_full)
+    _, scale_h, center_h = half._crop_from_scoremap(image, empty_half)
+
+    np.testing.assert_allclose(np.asarray(center_f),
+                               np.full((2, 2), 160.0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(center_h), np.asarray(center_f),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(scale_h), np.asarray(scale_f),
+                               atol=1e-5)

@@ -558,3 +558,33 @@ def test_snapshot_label_matches_contained_step(tmp_path):
     for step, path in sorted_snapshots(snap_dir):
         restored = restore_snapshot(path, template)
         assert int(restored.step) == step, (step, path)
+
+
+def test_snapshot_prune_never_removes_the_new_snapshot(tmp_path):
+    """A stale higher-step snapshot from a longer prior run must not
+    survive the prune while the just-written snapshot gets deleted."""
+    import pytest
+
+    from hand3d_tpu.train.checkpoints import save_snapshot
+
+    params = {"w": np.zeros(3, np.float32)}
+    optimizer = make_optimizer([1e-4], [])
+    state = init_state(params, optimizer)
+
+    stale = save_snapshot(str(tmp_path), state, step=5000)
+    assert os.path.exists(stale)
+    new = save_snapshot(str(tmp_path), state, step=100, keep=1)
+    assert os.path.exists(new)  # the snapshot we just wrote survives
+    assert not os.path.exists(stale)  # the stale one does not
+    assert latest_snapshot(str(tmp_path)) == new
+
+    # keep must retain at least the new snapshot
+    with pytest.raises(AssertionError, match="keep=0"):
+        save_snapshot(str(tmp_path), state, step=101, keep=0)
+
+    # orphaned .tmp files from hard kills get swept on the next save
+    orphan = os.path.join(str(tmp_path), "snapshot-77.msgpack.tmp")
+    with open(orphan, "w") as f:
+        f.write("partial")
+    save_snapshot(str(tmp_path), state, step=102)
+    assert not os.path.exists(orphan)
