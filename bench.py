@@ -18,22 +18,67 @@ identical to converted weights).
 
 Timing methodology: on this platform block_until_ready can return before
 execution finishes (remote-device semantics), so naive loops measure
-dispatch, not compute. We therefore chain N data-dependent cascade
-iterations inside one jitted lax.scan, force completion by fetching the
-scalar result, and take the differential (t_N - t_1) / (N - 1) as device
-time per batch.
+dispatch, not compute. We chain N data-dependent cascade iterations — the
+output scalar of iteration i feeds iteration i+1, serializing execution on
+device — force completion by fetching the final scalar, and take the
+differential (t_N - t_1) / (N - 1) as device time per batch. Two chaining
+methods exist:
+
+  * "pychain" (default): one plain-jit step dispatched N times from Python,
+    each call consuming the previous call's scalar. Async dispatch overlaps
+    host dispatch with device compute, so the differential is pure device
+    time as long as dispatch latency < per-batch device time (true for
+    batch >= 8). Compiles the same single-step program as serving — no
+    separate scan compile.
+  * "scan": N iterations inside one jitted lax.scan (round-1's method).
+    Kept as a cross-check; round 1 showed bf16+scan+Pallas-floodfill can
+    wedge the compiler (VERDICT.md), which is why it is no longer the only
+    path.
+
+ROBUSTNESS (the round-1 lesson): every attempt in the fallback ladder must
+exercise a DIFFERENT compile path, and each child logs per-phase progress
+to stderr so a timeout shows where it died. See _ATTEMPTS below.
 """
 
 import json
 import os
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-from jax import lax
+_T0 = time.perf_counter()
 
 
+def _log(msg):
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+# --- chaining methods -------------------------------------------------------
+
+
+def _chained_scan(net, n):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def fn(params, image, hand_side):
+        def body(carry, _):
+            out = net.inference(params, image + carry * 0.0, hand_side)
+            return jnp.sum(out.keypoint_coord3d) * 1e-9, ()
+
+        s, _ = lax.scan(body, jnp.float32(0.0), None, length=n)
+        return s
+
+    return lambda p, i, h: float(fn(p, i, h))
+
+
+# round-1 compatibility alias (tools/repro_pallas_scan.py case 4)
 def _chained(net, n):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
     @jax.jit
     def fn(params, image, hand_side):
         def body(carry, _):
@@ -46,10 +91,49 @@ def _chained(net, n):
     return fn
 
 
+def _make_runners(net, method, chain):
+    """Return (run_1, run_chain): callables (params, image, hand_side) -> float
+    that execute 1 / ``chain`` data-dependent cascade iterations and block."""
+    import jax
+    import jax.numpy as jnp
+
+    if method == "scan":
+        return _chained_scan(net, 1), _chained_scan(net, chain)
+
+    assert method == "pychain", method
+
+    @jax.jit
+    def step(params, image, hand_side, carry):
+        out = net.inference(params, image + carry * 0.0, hand_side)
+        return jnp.sum(out.keypoint_coord3d) * 1e-9
+
+    def run_n(n):
+        def go(params, image, hand_side):
+            c = jnp.float32(0.0)
+            for _ in range(n):
+                c = step(params, image, hand_side, c)
+            return float(c)
+
+        return go
+
+    return run_n(1), run_n(chain)
+
+
+# --- measurement ------------------------------------------------------------
+
+
 def bench_cascade(batch=32, chain=16, trials=3, compute_dtype=None,
-                  seg_scale=1.0, quantize=None, phase_pack=False):
+                  seg_scale=1.0, quantize=None, phase_pack=False,
+                  method="pychain"):
+    import jax
+    import jax.numpy as jnp
+
     from hand3d_tpu.models.cascade import ColorHandPose3D
 
+    _log(f"building net: batch={batch} chain={chain} dtype={compute_dtype} "
+         f"seg_scale={seg_scale} quant={quantize} phase_pack={phase_pack} "
+         f"method={method} floodfill={os.environ.get('HAND3D_FLOODFILL', 'auto')} "
+         f"pallas={os.environ.get('HAND3D_PALLAS', '1')}")
     net = ColorHandPose3D(compute_dtype=compute_dtype, seg_scale=seg_scale)
     params = net.init(jax.random.PRNGKey(0))
     if quantize == "int8":
@@ -66,19 +150,24 @@ def bench_cascade(batch=32, chain=16, trials=3, compute_dtype=None,
     )
     hand_side = jax.device_put(jnp.tile(jnp.asarray([[1.0, 0.0]]), (batch, 1)))
 
-    c1, cn = _chained(net, 1), _chained(net, chain)
-    float(c1(params, image, hand_side))  # compile + run
-    float(cn(params, image, hand_side))
+    run1, runn = _make_runners(net, method, chain)
+    _log("compile + first run (chain=1) ...")
+    run1(params, image, hand_side)
+    _log("chain=1 done; warm run (chain=n) ...")
+    runn(params, image, hand_side)
+    _log("warm done; timing ...")
 
-    def best(fn):
+    def best(fn, tag):
         times = []
-        for _ in range(trials):
+        for t in range(trials):
             t0 = time.perf_counter()
-            float(fn(params, image, hand_side))  # fetch forces completion
+            fn(params, image, hand_side)  # fetch forces completion
             times.append(time.perf_counter() - t0)
+            _log(f"  {tag} trial {t}: {times[-1]:.3f}s")
         return min(times)
 
-    per_batch = (best(cn) - best(c1)) / (chain - 1)
+    per_batch = (best(runn, f"chain={chain}") - best(run1, "chain=1")) / (chain - 1)
+    _log(f"per-batch {per_batch * 1e3:.2f} ms -> {batch / per_batch:.1f} fps")
     return batch / per_batch
 
 
@@ -100,6 +189,8 @@ def _emit(fps, batch):
 
 
 def _child(batch):
+    import jax.numpy as jnp
+
     dtype = None
     if os.environ.get("HAND3D_BENCH_DTYPE", "bf16") == "bf16":
         dtype = jnp.bfloat16
@@ -115,49 +206,72 @@ def _child(batch):
     # HAND3D_BENCH_PHASEPACK=1 packs the 64-channel conv1 blocks (same MACs,
     # full MXU lanes; float-reassociation-level numeric delta only).
     phase_pack = os.environ.get("HAND3D_BENCH_PHASEPACK", "0") == "1"
-    _emit(bench_cascade(batch=batch, compute_dtype=dtype, seg_scale=seg_scale,
-                        quantize=quantize, phase_pack=phase_pack), batch)
+    method = os.environ.get("HAND3D_BENCH_METHOD", "pychain")
+    chain = int(os.environ.get("HAND3D_BENCH_CHAIN", "16"))
+    _emit(bench_cascade(batch=batch, chain=chain, compute_dtype=dtype,
+                        seg_scale=seg_scale, quantize=quantize,
+                        phase_pack=phase_pack, method=method), batch)
+
+
+# Each attempt differs in at least one compile-path dimension (floodfill
+# kernel, dtype, chaining method, batch) so no single compiler pathology can
+# take out the whole ladder — the round-1 failure mode (VERDICT.md weak #1).
+_ATTEMPTS = [
+    # (tag, batch, timeout_s, env overrides)
+    ("bf16+pallas+pychain", 128, 300, {}),
+    ("bf16+xla-floodfill+pychain", 128, 300, {"HAND3D_PALLAS": "0"}),
+    ("bf16+xla+pychain-b32", 32, 240, {"HAND3D_PALLAS": "0"}),
+    ("fp32+xla+pychain-b32", 32, 240,
+     {"HAND3D_PALLAS": "0", "HAND3D_BENCH_DTYPE": "fp32"}),
+    ("fp32+xla+scan-b8", 8, 240,
+     {"HAND3D_PALLAS": "0", "HAND3D_BENCH_DTYPE": "fp32",
+      "HAND3D_BENCH_METHOD": "scan", "HAND3D_BENCH_CHAIN": "8"}),
+]
 
 
 def main():
-    """Run each measurement attempt in a subprocess with a hard timeout.
+    """Run measurement attempts in subprocesses with hard timeouts.
 
     The TPU tunnel in this environment occasionally wedges a client process
-    indefinitely (near-zero CPU, blocked in an RPC); an in-process attempt
-    would turn that into a bench failure. A killed subprocess just falls
-    through to the next attempt.
+    indefinitely (near-zero CPU, blocked in an RPC or a pathological
+    compile); an in-process attempt would turn that into a bench failure.
+    A killed subprocess just falls through to the next attempt — and each
+    attempt uses a different compile path (see _ATTEMPTS).
     """
     import subprocess
-    import sys
+    import tempfile
 
-    # batch 128 measures ~20% above batch 32 on v5e (deeper pipelining of the
-    # glue stages between conv bursts); fall back to smaller batches if the
-    # tunnel wedges or memory is tight on the day's hardware.
-    attempts = [(128, 420), (32, 420), (8, 300), (1, 240)]
-    for batch, timeout in attempts:
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child", str(batch)],
-                capture_output=True, text=True, timeout=timeout,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-        except subprocess.TimeoutExpired:
-            print(f"bench attempt batch={batch} timed out", file=sys.stderr)
-            continue
-        for line in proc.stdout.splitlines():
+    here = os.path.dirname(os.path.abspath(__file__))
+    for tag, batch, timeout, env_over in _ATTEMPTS:
+        env = dict(os.environ, **env_over)
+        _log(f"attempt '{tag}' batch={batch} timeout={timeout}s")
+        with tempfile.TemporaryFile(mode="w+") as out_f, \
+                tempfile.TemporaryFile(mode="w+") as err_f:
+            try:
+                subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--child", str(batch)],
+                    stdout=out_f, stderr=err_f, timeout=timeout,
+                    cwd=here, env=env, text=True,
+                )
+                timed_out = False
+            except subprocess.TimeoutExpired:
+                timed_out = True
+            out_f.seek(0)
+            err_f.seek(0)
+            stdout, stderr = out_f.read(), err_f.read()
+        for line in stdout.splitlines():
             if line.startswith("{"):
                 print(line, flush=True)
+                _log(f"attempt '{tag}' SUCCEEDED")
                 return
-        print(
-            f"bench attempt batch={batch} failed:\n{proc.stderr[-2000:]}",
-            file=sys.stderr,
-        )
+        status = "timed out" if timed_out else "failed"
+        _log(f"attempt '{tag}' {status}; child progress tail:\n"
+             + "\n".join(stderr.splitlines()[-12:]))
     raise SystemExit("bench failed at all attempts")
 
 
 if __name__ == "__main__":
-    import sys
-
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
         _child(int(sys.argv[2]))
     else:

@@ -15,12 +15,45 @@ def add_weights_arg(parser, required=False):
     )
 
 
+def _load_tf_ckpt_tree(path):
+    """TF V2 checkpoint (prefix or .index path) -> param tree.
+
+    Reads without tensorflow (weights/tf_ckpt.py). Optimizer slots are
+    dropped (SNAPSHOT_DISCARD, eval2d_gt_cropped.py:62). If the variables
+    carry CPM-MPII scopes, the reference's warm-start discard/rename rules
+    (training_handsegnet.py:73-75, training_posenet.py:74-76) are applied so
+    ``--weights cpm-model-mpii`` works directly on the shipped checkpoint.
+    """
+    from hand3d_tpu.weights.convert import (
+        CPM_HANDSEGNET_DISCARD, CPM_HANDSEGNET_RENAME, CPM_POSENET_DISCARD,
+        CPM_POSENET_RENAME, SNAPSHOT_DISCARD, apply_discard_rename,
+        flat_to_tree, load_tf_checkpoint_flat,
+    )
+
+    prefix = path[: -len(".index")] if path.endswith(".index") else path
+    flat = load_tf_checkpoint_flat(prefix, discard_list=SNAPSHOT_DISCARD)
+    if any(n.startswith("CPM/") for n in flat):
+        seg = apply_discard_rename(flat, CPM_HANDSEGNET_DISCARD,
+                                   CPM_HANDSEGNET_RENAME)
+        pose = apply_discard_rename(flat, CPM_POSENET_DISCARD,
+                                    CPM_POSENET_RENAME)
+        flat = {
+            **{k: v for k, v in seg.items() if k.startswith("HandSegNet")},
+            **{k: v for k, v in pose.items() if k.startswith("PoseNet2D")},
+        }
+    return flat_to_tree(flat)
+
+
 def load_weight_trees(paths, exclude_var_list=None):
-    """Merge .npz / reference-.pickle files into one param tree."""
+    """Merge .npz / reference-.pickle / TF-checkpoint files into one tree."""
+    import os
+
     merged = {}
     for path in paths:
         if path.endswith(".npz"):
             tree = load_npz(path)
+        elif path.endswith(".index") or os.path.exists(path + ".index"):
+            tree = _load_tf_ckpt_tree(path)
         else:
             tree = convert_reference_pickles([path], exclude_var_list)
         for scope, sub in tree.items():
@@ -51,6 +84,12 @@ def base_parser(description):
     p = argparse.ArgumentParser(description=description)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def add_show_loss_arg(p):
+    p.add_argument("--show-loss-freq", type=int, default=1000,
+                   help="Steps between loss reports (print + --metrics-log)")
     return p
 
 

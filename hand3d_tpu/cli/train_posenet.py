@@ -9,6 +9,7 @@ prediction heads. Optionally warm-starts from converted CPM weights.
 import jax
 
 from hand3d_tpu.cli._common import (  # noqa: F401
+    add_show_loss_arg,
     _metrics_logger,
     add_qat_arg,
     maybe_qat,
@@ -44,6 +45,7 @@ def main():
     p.add_argument("--snapshot-freq", type=int, default=5000)
     p.add_argument("--resume", action="store_true")
     add_qat_arg(p)
+    add_show_loss_arg(p)
     p.add_argument("--metrics-log", default=None,
                    help="Append one JSON line per loss report here (JSONL).")
     p.add_argument("--step-timeout", type=float, default=None,
@@ -117,7 +119,7 @@ def main():
     optimizer = make_optimizer(args.lr, args.lr_iter)
     fit(
         train_loss, params, optimizer, pipeline, args.max_iter,
-        mesh=mesh, seed=args.seed, snapshot_dir=args.snapshot_dir,
+        mesh=mesh, seed=args.seed, show_loss_freq=args.show_loss_freq, snapshot_dir=args.snapshot_dir,
         snapshot_freq=args.snapshot_freq, resume=args.resume,
         step_timeout=args.step_timeout,
         remat=args.remat, accum_steps=args.accum_steps,

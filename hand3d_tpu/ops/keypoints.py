@@ -7,6 +7,8 @@ host round trip per batch and is where most of the single-image latency win
 comes from.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -65,7 +67,16 @@ def decode_upsampled(scoremap, factor, method="auto"):
     bit-identical (tested, including argmax tie-breaks). "auto" resolves
     per LOWERING platform (lax.platform_dependent), so cross-device jits
     and multi-platform exports each get the right path from one trace.
+    "auto" can be overridden process-wide by HAND3D_DECODE=pallas|xla or
+    the blanket HAND3D_PALLAS=0 kill switch (read at trace time) — the
+    escape hatch for compiler-stack states where a Pallas call wedges
+    inside outer control flow (docs/DESIGN.md "Pallas inside lax.scan").
     """
+    if method == "auto":
+        method = os.environ.get("HAND3D_DECODE", "auto")
+        assert method in ("auto", "pallas", "xla"), method
+        if method == "auto" and os.environ.get("HAND3D_PALLAS") == "0":
+            method = "xla"
 
     def _pallas(scoremap):
         from hand3d_tpu.ops.pallas.decode import decode_keypoints_upsampled_pallas

@@ -74,9 +74,16 @@ def decode_keypoints_upsampled_pallas(scoremap, factor, interpret=None):
     the (h*factor, w*factor) TF1-asymmetric bilinear upsampling — bit-equal
     to detect_keypoints_2d(resize_bilinear(sm, (h*f, w*f))).
     """
-    b, h, w, k = scoremap.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # inner jit: an eager pallas_call wedges on remote-device platforms
+    # (axon tunnel) — docs/DESIGN.md "Pallas dispatch wedge"
+    return _decode_jit(scoremap.astype(jnp.float32), factor, interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _decode_jit(scoremap, factor, interpret):
+    b, h, w, k = scoremap.shape
     kernel = functools.partial(_kernel, factor)
     rows, cols = pl.pallas_call(
         kernel,

@@ -94,10 +94,21 @@ def flood_fill_pallas(detmap, seed_rc, num_passes, interpret=None):
         the same code path runs in CPU tests).
     Returns:
       [B, H, W] float32 object map.
+
+    Always dispatches through an inner ``jax.jit``: an EAGER ``pallas_call``
+    wedges indefinitely on remote-device platforms (axon tunnel) — see
+    docs/DESIGN.md "Pallas dispatch wedge". Inside an outer jit the inner
+    jit is inlined; eager callers get the jitted path instead of the wedge.
     """
-    b, h, w = detmap.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    return _flood_fill_jit(detmap.astype(jnp.float32),
+                           seed_rc.astype(jnp.int32), num_passes, interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _flood_fill_jit(detmap, seed_rc, num_passes, interpret):
+    b, h, w = detmap.shape
     kernel = functools.partial(_kernel, num_passes)
     return pl.pallas_call(
         kernel,

@@ -13,6 +13,8 @@ utils/general.py:199-328. Here every op is fully batched and shape-static:
     arithmetic as in the reference.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -61,6 +63,11 @@ def single_obj_scoremap(scoremap, num_passes=None, method="auto"):
         trace serves cross-device jits and multi-platform AOT exports;
         the process-global default_backend() would pick the pallas path
         even for programs jitted onto a CPU device of a TPU process).
+        "auto" can be overridden process-wide by HAND3D_FLOODFILL=pallas|xla
+        or the blanket HAND3D_PALLAS=0 kill switch
+        (read at trace time): the escape hatch for compiler-stack states
+        where the pallas path wedges inside outer control flow
+        (docs/DESIGN.md "Pallas inside lax.scan").
     Returns:
       [B, H, W, 1] float32 binary object map.
     """
@@ -90,6 +97,11 @@ def single_obj_scoremap(scoremap, num_passes=None, method="auto"):
 
         return jax.lax.fori_loop(0, num_passes, body, seed)[..., None]
 
+    if method == "auto":
+        method = os.environ.get("HAND3D_FLOODFILL", "auto")
+        assert method in ("auto", "pallas", "xla"), method
+        if method == "auto" and os.environ.get("HAND3D_PALLAS") == "0":
+            method = "xla"
     if method == "pallas":
         return _pallas(detmap, max_loc)
     if method == "xla":

@@ -104,21 +104,15 @@ def convert_reference_pickles(weight_files, exclude_var_list=None,
 
 
 def load_tf_checkpoint_flat(checkpoint_path, discard_list=None, rename_dict=None):
-    """Read a TF checkpoint (e.g. the CPM-MPII warm start or a reference
-    training snapshot) into a flat dict. Requires tensorflow to be installed;
-    raises a clear error otherwise (TF is intentionally not a dependency of
-    this framework)."""
-    try:
-        from tensorflow.python.training import py_checkpoint_reader  # type: ignore
-        reader = py_checkpoint_reader.NewCheckpointReader(checkpoint_path)
-    except ImportError as e:  # pragma: no cover - env without TF
-        raise ImportError(
-            "Reading TF checkpoints requires tensorflow. Convert the "
-            "checkpoint to a pickle/npz on a machine with TF installed, "
-            "then load it here."
-        ) from e
-    names = reader.get_variable_to_shape_map().keys()
-    flat = {n: reader.get_tensor(n) for n in names}
+    """Read a TF V2 checkpoint (e.g. the CPM-MPII warm start or a reference
+    training snapshot) into a flat dict, with the discard/rename semantics
+    of utils/general.load_weights_from_snapshot (:614-651).
+
+    Uses the native TF-free parser (weights/tf_ckpt.py) — tensorflow is not
+    required or used."""
+    from hand3d_tpu.weights.tf_ckpt import load_tf_checkpoint
+
+    flat = load_tf_checkpoint(checkpoint_path)
     return apply_discard_rename(flat, discard_list, rename_dict)
 
 

@@ -1,0 +1,270 @@
+"""Automated on-chip gate: every program shape the bench/serving/training
+paths compile, run once on the real TPU, in < 5 minutes (warm cache).
+
+The round-1 lesson (VERDICT.md): the CPU-pinned test suite cannot see
+chip-only failures — the bf16 default-precision bug AND the bench's
+Pallas-compile wedge were both invisible to 188 green tests. This gate runs
+at the end of every session:
+
+  phase fwd_fp32      cascade inference fp32 batch 8 + Pallas-vs-XLA parity
+                      (floodfill + decode kernels, bit-compare on chip)
+  phase fwd_bf16      cascade inference bf16 batch 8, outputs finite
+  phase train_step    one fused PoseNet train step, loss finite
+  phase harness       one eval-harness batch on synthetic records
+  phase bench_shape   the exact program bench.py attempt-1 compiles
+                      (pychain step, batch 128, bf16, XLA floodfill)
+  phase scan_pallas   bf16 + lax.scan + Pallas floodfill (the round-1 wedge
+                      path) — informational: logged, never fails the gate
+
+Each phase runs in its own subprocess with a hard timeout so a compiler
+wedge is reported as that phase's failure instead of hanging the gate.
+A persistent compile cache (/tmp/hand3d_chip_cache) makes warm reruns fast.
+
+Usage:
+  python tools/chip_smoke.py              # all phases, exit 0 = gate green
+  python tools/chip_smoke.py --phase X    # one phase in-process
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _enable_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/hand3d_chip_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # cache is an optimization, not a requirement
+        print(f"compile cache unavailable: {e}", file=sys.stderr)
+
+
+def _cascade_inputs(batch):
+    import jax
+    import jax.numpy as jnp
+
+    image = jax.random.uniform(jax.random.PRNGKey(1), (batch, 240, 320, 3)) - 0.5
+    hand_side = jnp.tile(jnp.asarray([[1.0, 0.0]]), (batch, 1))
+    return image, hand_side
+
+
+def phase_fwd_fp32():
+    """Cascade fp32 + on-chip Pallas-vs-XLA parity for both kernels."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    _enable_cache()
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+    from hand3d_tpu.ops.keypoints import decode_upsampled
+    from hand3d_tpu.ops.pallas.floodfill import flood_fill_pallas
+    from hand3d_tpu.ops.segmentation import single_obj_scoremap
+
+    # kernel-level parity on realistic shapes
+    key = jax.random.PRNGKey(0)
+    logits = jax.random.normal(key, (8, 240, 320, 2))
+    pal = np.asarray(jax.jit(
+        lambda s: single_obj_scoremap(s, method="pallas"))(logits))
+    xla = np.asarray(jax.jit(
+        lambda s: single_obj_scoremap(s, method="xla"))(logits))
+    assert (pal == xla).all(), "floodfill pallas != xla on chip"
+
+    sm = jax.random.normal(jax.random.PRNGKey(2), (8, 32, 32, 21))
+    dp = np.asarray(jax.jit(
+        lambda s: decode_upsampled(s, 8, method="pallas"))(sm))
+    dx = np.asarray(jax.jit(
+        lambda s: decode_upsampled(s, 8, method="xla"))(sm))
+    assert (dp == dx).all(), "decode pallas != xla on chip"
+    del flood_fill_pallas  # imported to fail fast if the kernel breaks
+
+    # full cascade, parity-default config
+    net = ColorHandPose3D()
+    params = net.init(jax.random.PRNGKey(0))
+    image, hand_side = _cascade_inputs(8)
+    out = jax.jit(net.inference)(params, image, hand_side)
+    for name, leaf in out._asdict().items():
+        assert bool(jnp.isfinite(leaf).all()), f"non-finite {name}"
+    print("fwd_fp32 ok: parity + finite outputs")
+
+
+def phase_fwd_bf16():
+    """Cascade bf16 (the bench/serving dtype), outputs finite and sane."""
+    import jax
+    import jax.numpy as jnp
+
+    _enable_cache()
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+
+    net = ColorHandPose3D(compute_dtype=jnp.bfloat16)
+    params = net.init(jax.random.PRNGKey(0))
+    image, hand_side = _cascade_inputs(8)
+    out = jax.jit(net.inference)(params, image, hand_side)
+    for name, leaf in out._asdict().items():
+        assert bool(jnp.isfinite(leaf).all()), f"non-finite {name}"
+    # geometry stays f32 even under bf16 compute (round-1 precision bug
+    # class): rotation matrices must be orthonormal to f32 accuracy
+    c3d = out.keypoint_coord3d
+    assert float(jnp.abs(c3d).max()) < 1e4
+    print("fwd_bf16 ok")
+
+
+def phase_train_step():
+    """One PoseNet train step (the training compile path), loss finite."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    _enable_cache()
+    from hand3d_tpu.models import posenet
+    from hand3d_tpu.train.losses import posenet_scoremap_loss
+    from hand3d_tpu.train.loop import init_state, make_optimizer, make_train_step
+
+    params = {posenet.SCOPE: posenet.init(jax.random.PRNGKey(0))}
+    batch = {
+        "image_crop": jnp.asarray(
+            np.random.RandomState(0).rand(8, 256, 256, 3), jnp.float32) - 0.5,
+        "scoremap": jnp.zeros((8, 32, 32, 21)),
+        "keypoint_vis21": jnp.ones((8, 21)),
+    }
+
+    def loss_fn(p, b, key):
+        preds = posenet.apply(p[posenet.SCOPE], b["image_crop"])
+        return posenet_scoremap_loss(preds, b["scoremap"], b["keypoint_vis21"])
+
+    optimizer = make_optimizer([1e-4], [])
+    state = init_state(params, optimizer)
+    step = make_train_step(loss_fn, optimizer, donate=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss), loss
+    print(f"train_step ok: loss={loss:.4f}")
+
+
+def phase_harness():
+    """One batched eval-harness pass over synthetic RHD records."""
+    import tempfile
+
+    _enable_cache()
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import jax
+    from fixtures import make_rhd_bin
+
+    from hand3d_tpu.data.rhd import RHDDataset
+    from hand3d_tpu.eval.harnesses import eval2d_gt_cropped
+    from hand3d_tpu.models import posenet
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "rhd_evaluation.bin")
+        make_rhd_bin(path, num_records=8)
+        dataset = RHDDataset("evaluation", path=d)
+        params = {posenet.SCOPE: posenet.init(jax.random.PRNGKey(0))}
+        metrics = eval2d_gt_cropped(params, dataset, batch_size=8, limit=8)
+    assert "epe_mean" in metrics and metrics["epe_mean"] >= 0.0
+    print(f"harness ok: {metrics['epe_mean']:.2f}px mean EPE (random init)")
+
+
+def phase_bench_shape():
+    """Compile + run bench.py's primary program (attempt 1 of the ladder)."""
+    import jax
+    import jax.numpy as jnp
+
+    _enable_cache()
+    os.environ.setdefault("HAND3D_PALLAS", "0")
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+
+    net = ColorHandPose3D(compute_dtype=jnp.bfloat16)
+    params = net.init(jax.random.PRNGKey(0))
+    image, hand_side = _cascade_inputs(128)
+
+    @jax.jit
+    def step(params, image, hand_side, carry):
+        out = net.inference(params, image + carry * 0.0, hand_side)
+        return jnp.sum(out.keypoint_coord3d) * 1e-9
+
+    c = jnp.float32(0.0)
+    for _ in range(3):
+        c = step(params, image, hand_side, c)
+    assert bool(jnp.isfinite(c))
+    print("bench_shape ok (batch-128 bf16 pychain step)")
+
+
+def phase_scan_pallas():
+    """INFORMATIONAL: the round-1 wedge path (bf16 + scan + Pallas)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    _enable_cache()
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+    from hand3d_tpu.ops import segmentation  # noqa: F401
+
+    os.environ.pop("HAND3D_PALLAS", None)
+    os.environ.pop("HAND3D_FLOODFILL", None)
+    net = ColorHandPose3D(compute_dtype=jnp.bfloat16)
+    params = net.init(jax.random.PRNGKey(0))
+    image, hand_side = _cascade_inputs(8)
+
+    @jax.jit
+    def fn(params, image, hand_side):
+        def body(carry, _):
+            out = net.inference(params, image + carry * 0.0, hand_side)
+            return jnp.sum(out.keypoint_coord3d) * 1e-9, ()
+
+        s, _ = lax.scan(body, jnp.float32(0.0), None, length=2)
+        return s
+
+    assert bool(jnp.isfinite(fn(params, image, hand_side)))
+    print("scan_pallas ok (wedge path compiles today)")
+
+
+PHASES = [
+    ("fwd_fp32", phase_fwd_fp32, True, 300),
+    ("fwd_bf16", phase_fwd_bf16, True, 300),
+    ("train_step", phase_train_step, True, 300),
+    ("harness", phase_harness, True, 300),
+    ("bench_shape", phase_bench_shape, True, 300),
+    ("scan_pallas", phase_scan_pallas, False, 240),
+]
+
+
+def main():
+    results = {}
+    t_start = time.time()
+    for name, _, required, timeout in PHASES:
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--phase", name],
+                capture_output=True, text=True, timeout=timeout, cwd=REPO,
+            )
+            ok = proc.returncode == 0
+            tail = "" if ok else (proc.stderr or proc.stdout)[-500:]
+        except subprocess.TimeoutExpired:
+            ok, tail = False, f"TIMEOUT after {timeout}s (wedged compile?)"
+        dt = time.time() - t0
+        results[name] = {"ok": ok, "seconds": round(dt, 1),
+                         "required": required}
+        flag = "PASS" if ok else ("FAIL" if required else "fail (informational)")
+        print(f"{name:<12} {flag:<22} {dt:6.1f}s", flush=True)
+        if tail and not ok:
+            print("    " + tail.replace("\n", "\n    ")[-600:], flush=True)
+    total = time.time() - t_start
+    gate_ok = all(r["ok"] for n, r in results.items() if r["required"])
+    print(json.dumps({"gate": "chip_smoke", "ok": gate_ok,
+                      "total_seconds": round(total, 1),
+                      "phases": results}), flush=True)
+    raise SystemExit(0 if gate_ok else 1)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--phase":
+        dict((n, f) for n, f, _, _ in PHASES)[sys.argv[2]]()
+    else:
+        main()
