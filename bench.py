@@ -189,7 +189,17 @@ def _emit(fps, batch):
 
 
 def _child(batch):
+    import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: fallback attempts re-compile mostly-shared
+    # programs; cache hits keep later ladder rungs well inside their timeout
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/hand3d_chip_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:
+        _log(f"compile cache unavailable: {e}")
 
     dtype = None
     if os.environ.get("HAND3D_BENCH_DTYPE", "bf16") == "bf16":

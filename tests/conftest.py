@@ -9,9 +9,19 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU collective rendezvous hard-kills the process (LOG(FATAL),
+# rendezvous.cc "Termination timeout ... exceeded. Exiting to ensure a
+# consistent program state") when a participant thread doesn't arrive
+# within 40 s. Eight virtual device threads time-slicing this image's
+# SINGLE physical core can starve one participant past that under load —
+# observed as rc=134 suite aborts in mesh tests (docs/DESIGN.md,
+# "all gather may be stuck"). The stall is scheduling, not deadlock:
+# give stragglers 15 min before the fatal, and keep the warn at 20 s so
+# genuine hangs still log early.
+if "collective_call_terminate_timeout" not in flags:
+    flags += " --xla_cpu_collective_call_terminate_timeout_seconds=900"
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 

@@ -65,6 +65,37 @@ def test_batch_shard_count_multislice():
     assert batch_shard_count(make_multislice_mesh(2, 2, 2)) == 4
 
 
+def test_tp4_grad_matches_single_device():
+    """n_model=4 (VERDICT round-1, next-round #8): a ("data", "model")=(2, 4)
+    mesh — TP over FOUR devices — reproduces the single-device gradient, and
+    the 4-way channel shard actually happens."""
+    params = {
+        "conv": nn.conv_init(jax.random.PRNGKey(0), 3, 3, 8, 256),
+        "fc": nn.dense_init(jax.random.PRNGKey(1), 256, 128),
+    }
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 16, 16, 8))
+
+    def loss(p, x):
+        h = nn.conv2d_relu(x, p["conv"])
+        h = jnp.mean(h, axis=(1, 2))
+        return jnp.mean(nn.dense_relu(h, p["fc"]) ** 2)
+
+    g_ref = jax.grad(loss)(params, x)
+    mesh = make_mesh(2, 4)
+    with mesh:
+        p_sh = shard_params(mesh, params)
+        x_sh = jax.device_put(x, batch_sharding(mesh))
+        g_tp = jax.jit(jax.grad(loss))(p_sh, x_sh)
+    for name in ("conv", "fc"):
+        np.testing.assert_allclose(
+            np.asarray(g_tp[name]["weights"]),
+            np.asarray(g_ref[name]["weights"]),
+            atol=1e-6,
+        )
+    spec = param_sharding(mesh, params)["conv"]["weights"].spec
+    assert spec == P(None, None, None, "model")
+
+
 def test_multislice_grad_matches_single_device():
     """A grad step on the multislice mesh equals the single-device grad."""
     params = {"fc": nn.dense_init(jax.random.PRNGKey(0), 256, 128)}
@@ -159,6 +190,12 @@ class TestPipelineParallel:
             trunk, stacked, img, gt, vis
         )
         np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+        # n_micro=4 (VERDICT round-1, next-round #8): a deeper microbatch
+        # schedule (4 micro-batches of 4 through 2 stages) stays invariant
+        l4 = jax.jit(pp.posenet_pipeline_loss(mesh, n_micro=4))(
+            trunk, stacked, img, gt, vis
+        )
+        np.testing.assert_allclose(float(l1), float(l4), rtol=1e-5)
 
 
 class TestExpertParallel:
@@ -196,6 +233,38 @@ class TestExpertParallel:
         row_norm = np.abs(out).sum(axis=1)
         assert (row_norm == 0).sum() > 0  # some dropped
         assert (row_norm > 0).sum() > 0  # some processed
+
+    def test_over_capacity_sharded_matches_per_shard_reference(self):
+        """Over-capacity routing THROUGH THE SHARDED PATH (VERDICT round-1,
+        next-round #8). Capacity is a PER-DEVICE-SHARD budget (routing is
+        local — expert.py moe_dense_apply docstring), so the oracle is the
+        unsharded reference applied per token slice: with 64 tokens on a
+        (2, 4) mesh each device routes its 8 tokens into capacity
+        ceil(8 * 0.25 / 4) = 1 slot per expert. The all_to_all
+        dispatch/combine must reproduce that slice-wise result exactly —
+        slots must not scramble across expert shards."""
+        ep, params, p_sh, x, mesh, _ = self._setup(cf=0.25)
+        out, aux = jax.jit(
+            lambda p, x: ep.moe_dense_apply(mesh, p, x, capacity_factor=0.25)
+        )(p_sh, x)
+        out = np.asarray(out)
+        n_shards = mesh.devices.size  # batch shards over ("data", "expert")
+        t_local = x.shape[0] // n_shards
+        expected = np.concatenate([
+            np.asarray(ep.moe_dense_reference(
+                params, x[i * t_local:(i + 1) * t_local],
+                capacity_factor=0.25)[0])
+            for i in range(n_shards)
+        ])
+        np.testing.assert_allclose(out, expected, atol=1e-5)
+        row = np.abs(out).sum(axis=1)
+        assert (row == 0).sum() > 0 and (row > 0).sum() > 0  # real drops
+        # and the drop set is genuinely per-shard: the global-capacity
+        # reference keeps a DIFFERENT token set at this pressure
+        ref_global = np.asarray(
+            ep.moe_dense_reference(params, x, capacity_factor=0.25)[0])
+        assert ((np.abs(ref_global).sum(axis=1) == 0) != (row == 0)).any()
+        assert np.isfinite(float(aux))
 
     def test_grads_flow_to_gate_and_experts(self):
         ep, params, p_sh, x, mesh, cf = self._setup()

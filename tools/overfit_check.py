@@ -65,12 +65,14 @@ def _trainers(steps, data_dir, log_dir):
         "lifting": (
             ["-m", "hand3d_tpu.cli.train_lifting", *common,
              "--variant", "proposed", "--lr", "1e-4", "1e-4", "--lr-iter", "1000000",
+             "--snapshot-dir", os.path.join(log_dir, "snap_lift"),
              "--metrics-log", log("lifting")],
             5.0,
         ),
         "joint": (
             ["-m", "hand3d_tpu.cli.train_joint", *common,
              "--lr", "1e-4", "1e-4", "--lr-iter", "1000000",
+             "--snapshot-dir", os.path.join(log_dir, "snap_joint"),
              "--metrics-log", log("joint")],
             3.0,
         ),
@@ -172,11 +174,22 @@ def main():
     raise SystemExit(0 if gate_ok else 1)
 
 
+def _git_rev():
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, cwd=REPO, timeout=10,
+        )
+        return out.stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def _markdown(summary):
     lines = [
         "",
         f"## Synthetic-overfit run ({summary['records']} records, "
-        f"{summary['steps']} steps, batch 8)",
+        f"{summary['steps']} steps, batch 8) — commit {_git_rev()}",
         "",
         "| Trainer | loss first → last | drop | memorization eval | wall |",
         "|---|---|---|---|---|",
