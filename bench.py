@@ -228,7 +228,11 @@ def _child(batch):
 # take out the whole ladder — the round-1 failure mode (VERDICT.md weak #1).
 _ATTEMPTS = [
     # (tag, batch, timeout_s, env overrides)
-    ("bf16+pallas+pychain", 128, 300, {}),
+    # Pallas floodfill measures ~5% faster at b128 (1178 vs 1113 fps, r2
+    # chip), but its cold compile has been seen past 250 s when the host
+    # core is loaded — give it a timeout that survives that, with the
+    # proven-60s XLA-floodfill rung right behind it as the rescue.
+    ("bf16+pallas+pychain", 128, 420, {}),
     ("bf16+xla-floodfill+pychain", 128, 300, {"HAND3D_PALLAS": "0"}),
     ("bf16+xla+pychain-b32", 32, 240, {"HAND3D_PALLAS": "0"}),
     ("fp32+xla+pychain-b32", 32, 240,
