@@ -27,6 +27,20 @@ Package layout:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+_plat = _os.environ.get("HAND3D_PLATFORM")
+if _plat:
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var, but the config
+    # API sticks (tests/conftest.py). This hook lets the gate tools
+    # (tools/overfit_check.py, tools/preset_accuracy.py) and the test suite
+    # force their subprocess trainers onto a platform — e.g. CPU when the
+    # chip is busy or absent — without per-CLI plumbing.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)
+del _os, _plat
+
 
 def __getattr__(name):
     # lazy top-level API so `import hand3d_tpu` stays cheap

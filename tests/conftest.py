@@ -39,6 +39,13 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute end-to-end gates (deselect with -m 'not slow')",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)

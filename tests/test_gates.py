@@ -1,0 +1,71 @@
+"""Smoke tests for the round-gate tools themselves.
+
+Round 2 committed a gate (tools/overfit_check.py) that crashed on its first
+subprocess call — a directory passed where every trainer CLI takes a .bin
+file — and nothing in the suite would have caught it (VERDICT round-2,
+weak #1/#3). These tests execute the gate tools end-to-end with tiny
+budgets so a crash-on-line-one can never be committed again. They assert
+the tools RUN and report; the real thresholds are asserted by the actual
+chip runs recorded in docs/OVERFIT.md / docs/PRESETS.md.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_tool(argv, timeout):
+    # subprocesses don't see conftest's in-process jax.config: force CPU via
+    # the package-level HAND3D_PLATFORM hook and share the compile cache
+    env = dict(
+        os.environ, HAND3D_PLATFORM="cpu",
+        JAX_COMPILATION_CACHE_DIR="/tmp/hand3d_tpu_test_cache",
+        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1.0",
+    )
+    return subprocess.run(
+        [sys.executable, *argv], capture_output=True, text=True,
+        timeout=timeout, cwd=REPO, env=env,
+    )
+
+
+@pytest.mark.slow
+def test_overfit_gate_runs_end_to_end(tmp_path):
+    # 2 steps cannot pass the drop-ratio bar — the assertion here is that
+    # the harness itself works: fixtures written, trainer subprocess runs,
+    # metrics log parsed, JSON summary emitted, doc section written.
+    doc = tmp_path / "OVERFIT.md"
+    proc = _run_tool(
+        ["tools/overfit_check.py", "--steps", "2", "--only", "lifting",
+         "--records", "8", "--write-doc", str(doc)],
+        timeout=600,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no JSON summary in stdout:\n{proc.stdout}\n{proc.stderr}"
+    summary = json.loads(lines[-1])
+    entry = summary["trainers"]["lifting"]
+    assert "error" not in entry, entry
+    assert entry["loss_first"] > 0 and len(entry["curve"]) >= 2
+    assert "drop" in doc.read_text()
+
+
+@pytest.mark.slow
+def test_preset_accuracy_runs_end_to_end(tmp_path):
+    doc = tmp_path / "PRESETS.md"
+    proc = _run_tool(
+        ["tools/preset_accuracy.py", "--random-init", "--images", "8",
+         "--batch", "8", "--write-doc", str(doc)],
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    summary = json.loads(lines[-1])
+    assert set(summary["presets"]) == {
+        "seg_scale=0.5", "bf16", "int8", "phase_pack"}
+    for name, deltas in summary["presets"].items():
+        assert "uv21_epe_px" in deltas and "coord3d_drift" in deltas, name
+    assert "Preset accuracy bounds" in doc.read_text()
