@@ -93,6 +93,16 @@ def add_show_loss_arg(p):
     return p
 
 
+def add_steps_per_call_arg(p):
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="Run this many training steps per device call "
+                        "(lax.scan over a device-resident dataset). "
+                        "Amortizes per-step dispatch latency when the "
+                        "dataset fits device memory (fine-tuning, small "
+                        "sets); trajectory-identical to --steps-per-call 1. "
+                        "Requires the fused preprocess path and no --mesh.")
+
+
 def add_memory_args(p):
     """Activation-memory levers shared by the training CLIs."""
     p.add_argument("--remat", nargs="?", const=True, default=False,

@@ -9,6 +9,7 @@ import jax
 
 from hand3d_tpu.cli._common import (  # noqa: F401
     add_show_loss_arg,
+    add_steps_per_call_arg,
     _metrics_logger,
     add_qat_arg,
     maybe_qat,
@@ -45,6 +46,7 @@ def main():
     p.add_argument("--resume", action="store_true")
     add_qat_arg(p)
     add_show_loss_arg(p)
+    add_steps_per_call_arg(p)
     p.add_argument("--metrics-log", default=None,
                    help="Append one JSON line per loss report here (JSONL).")
     p.add_argument("--step-timeout", type=float, default=None,
@@ -92,6 +94,7 @@ def main():
         step_timeout=args.step_timeout,
         remat=args.remat, accum_steps=args.accum_steps,
         metrics_logger=_metrics_logger(args),
+        steps_per_call=args.steps_per_call,
     )
 
 

@@ -21,6 +21,7 @@ import jax
 
 from hand3d_tpu.cli._common import (  # noqa: F401
     add_show_loss_arg,
+    add_steps_per_call_arg,
     _metrics_logger,
     add_qat_arg,
     maybe_qat,
@@ -85,6 +86,7 @@ def main():
     p.add_argument("--resume", action="store_true")
     add_qat_arg(p)
     add_show_loss_arg(p)
+    add_steps_per_call_arg(p)
     p.add_argument("--metrics-log", default=None,
                    help="Append one JSON line per loss report here (JSONL).")
     p.add_argument("--step-timeout", type=float, default=None,
@@ -168,6 +170,7 @@ def main():
         step_timeout=args.step_timeout,
         remat=args.remat, accum_steps=args.accum_steps,
         metrics_logger=_metrics_logger(args),
+        steps_per_call=args.steps_per_call,
         eval_fn=eval_fn, eval_freq=args.eval_freq,
     )
 

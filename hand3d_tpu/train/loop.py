@@ -17,7 +17,11 @@ import time
 import jax
 
 from hand3d_tpu.train import checkpoints
-from hand3d_tpu.train.trainer import init_state, make_train_step
+from hand3d_tpu.train.trainer import (
+    init_state,
+    make_resident_train_step,
+    make_train_step,
+)
 
 WATCHDOG_EXIT_CODE = 17
 
@@ -102,6 +106,7 @@ def fit(
     eval_fn=None,
     eval_freq=0,
     snapshot_on_sigterm=True,
+    steps_per_call=1,
 ):
     """Train ``params`` with ``loss_fn(params, batch, key)``.
 
@@ -119,6 +124,14 @@ def fit(
     current state into ``snapshot_dir``, and return, so a restart with
     ``--resume`` loses at most the in-flight step. Only active when
     fit() runs on the main thread (signal API restriction).
+    ``steps_per_call > 1``: device-resident training — upload the WHOLE
+    dataset to the device once and run ``steps_per_call`` full steps per
+    device call (trainer.make_resident_train_step), amortizing per-step
+    dispatch latency. Requires a fused (yield_raw) single-process unsharded
+    pipeline and a dataset that fits device memory; trajectory-identical to
+    the per-step path with the same seed. Snapshots/evals land on call
+    boundaries (the first boundary at/after each configured step), loss
+    reporting stays exact (every step's loss is returned).
     """
     state = init_state(params, optimizer)
     start_step = 0
@@ -134,8 +147,30 @@ def fit(
 
         state = shard_state(mesh, state)
 
-    step_fn = make_train_step(loss_fn, optimizer, mesh=mesh, remat=remat,
-                              accum_steps=accum_steps)
+    if steps_per_call > 1:
+        if mesh is not None:
+            raise ValueError(
+                "steps_per_call > 1 does not compose with a mesh yet: the "
+                "resident dataset would need per-shard index streams; run "
+                "multi-step training single-device"
+            )
+        if not getattr(pipeline, "yield_raw", False):
+            raise ValueError(
+                "steps_per_call > 1 requires a fused pipeline "
+                "(InputPipeline(..., yield_raw=True)): preprocessing must "
+                "run inside the scanned step"
+            )
+        if pipeline.process_shard != (0, 1):
+            raise ValueError(
+                "steps_per_call > 1 is single-process: the resident index "
+                "stream does not implement per-host epoch shards"
+            )
+        step_fn = make_resident_train_step(
+            loss_fn, optimizer, remat=remat, accum_steps=accum_steps
+        )
+    else:
+        step_fn = make_train_step(loss_fn, optimizer, mesh=mesh, remat=remat,
+                                  accum_steps=accum_steps)
     base_key = jax.random.PRNGKey(seed)
 
     preempt = {"signal": None}
@@ -158,25 +193,34 @@ def fit(
     watchdog = (
         _Watchdog(step_timeout, progress, log) if step_timeout else None
     )
-    # resume restarts the data stream WHERE the interrupted run left off:
-    # same epoch shuffle order and same per-step augmentation keys as an
-    # uninterrupted run (replaying from epoch 0 would oversample early
-    # epochs and break resumed-vs-straight-through determinism)
-    if start_step:
-        spe = pipeline.steps_per_epoch()
-        it = pipeline.iterate(
-            epochs=None, start_epoch=start_step // spe,
-            skip_steps=start_step % spe,
-        )
-    else:
-        it = pipeline.iterate(epochs=None)
     t0 = time.perf_counter()
     try:
-        state = _run_loop(
-            state, step_fn, it, base_key, start_step, max_iter, progress,
-            watchdog, show_loss_freq, snapshot_freq, snapshot_dir,
-            metrics_logger, log, t0, eval_fn, eval_freq, preempt,
-        )
+        if steps_per_call > 1:
+            state = _run_loop_resident(
+                state, step_fn, pipeline, base_key, start_step, max_iter,
+                steps_per_call, progress, watchdog, show_loss_freq,
+                snapshot_freq, snapshot_dir, metrics_logger, log, t0,
+                eval_fn, eval_freq, preempt,
+            )
+        else:
+            # resume restarts the data stream WHERE the interrupted run left
+            # off: same epoch shuffle order and same per-step augmentation
+            # keys as an uninterrupted run (replaying from epoch 0 would
+            # oversample early epochs and break resumed-vs-straight-through
+            # determinism)
+            if start_step:
+                spe = pipeline.steps_per_epoch()
+                it = pipeline.iterate(
+                    epochs=None, start_epoch=start_step // spe,
+                    skip_steps=start_step % spe,
+                )
+            else:
+                it = pipeline.iterate(epochs=None)
+            state = _run_loop(
+                state, step_fn, it, base_key, start_step, max_iter, progress,
+                watchdog, show_loss_freq, snapshot_freq, snapshot_dir,
+                metrics_logger, log, t0, eval_fn, eval_freq, preempt,
+            )
     finally:
         # disarm even on exceptions a caller may catch — otherwise whatever
         # runs after fit() (eval, export, another fit) is killed later
@@ -187,6 +231,110 @@ def fit(
 
             for sig, handler in old_handlers.items():
                 signal_mod.signal(sig, handler)
+    return state
+
+
+def _run_loop_resident(state, multi_fn, pipeline, base_key, start_step,
+                       max_iter, steps_per_call, progress, watchdog,
+                       show_loss_freq, snapshot_freq, snapshot_dir,
+                       metrics_logger, log, t0, eval_fn=None, eval_freq=0,
+                       preempt=None):
+    """Window loop for steps_per_call > 1: the whole dataset is device-
+    resident and each device call advances up to ``steps_per_call`` steps
+    (trainer.make_resident_train_step). Batch index rows reproduce
+    data.pipeline's epoch shuffle exactly (same epoch_indices, same
+    seed+epoch), and per-step keys are folded in-program from the same
+    base key, so the trajectory matches the per-step path (same batches,
+    same keys; numerics equal up to XLA fusion-order float reassociation,
+    measured ~1e-6 over a few steps)."""
+    import numpy as np
+
+    from hand3d_tpu.data.pipeline import epoch_indices
+
+    spe = pipeline.steps_per_epoch()
+    n = len(pipeline.dataset)
+    data = pipeline.dataset.raw_batch(np.arange(n))
+    nbytes = sum(np.asarray(v).nbytes for v in data.values())
+    log(f"resident dataset: {n} records, {nbytes / 1e6:.1f} MB on device, "
+        f"{steps_per_call} steps/call")
+    data = jax.device_put(data)
+
+    epoch_cache = {}
+
+    def row(i):
+        epoch = i // spe
+        if epoch not in epoch_cache:
+            epoch_cache.clear()  # windows advance monotonically
+            epoch_cache[epoch] = epoch_indices(
+                n, pipeline.batch_size, pipeline.shuffle,
+                pipeline.seed + epoch,
+            )
+        return epoch_cache[epoch][i % spe]
+
+    def run_eval(state, step):
+        ctx = watchdog.suspended() if watchdog is not None else (
+            contextlib.nullcontext()
+        )
+        with ctx:
+            results = {k: float(v) for k, v in eval_fn(state, step).items()}
+        line = "  ".join(f"{k} {v:.4g}" for k, v in results.items())
+        log(f"Eval @ {step}\t {line}")
+        if metrics_logger is not None:
+            metrics_logger.log(
+                step=step, **{f"eval_{k}": v for k, v in results.items()}
+            )
+
+    i = start_step
+    while i < max_iter:
+        if preempt is not None and preempt["signal"] is not None:
+            log(f"signal {preempt['signal']}: saving snapshot at "
+                f"iteration {i} and stopping")
+            if snapshot_dir:
+                checkpoints.save_snapshot(snapshot_dir, state, step=i)
+            return state
+        progress["iter"] = i
+        k = min(steps_per_call, max_iter - i)
+        idx = np.stack([row(j) for j in range(i, i + k)]).astype(np.int32)
+        state, losses = multi_fn(state, data, idx, base_key, np.int32(i))
+        # the window is the unit of progress: fetching the loss vector
+        # blocks until every step in it has really executed
+        losses = np.asarray(losses)
+        if watchdog is not None:
+            watchdog.beat()
+        end = i + k
+        if not np.all(np.isfinite(losses)):
+            bad = i + int(np.argmin(np.isfinite(losses)))
+            if snapshot_dir:
+                checkpoints.save_snapshot(snapshot_dir, state, step=end)
+            raise FloatingPointError(f"non-finite loss at iteration {bad}")
+        if show_loss_freq:
+            for j in range(i, end):
+                if j % show_loss_freq == 0:
+                    rate = (j - start_step + 1) / (time.perf_counter() - t0)
+                    log(f"Iteration {j}\t Loss {losses[j - i]:.1e}\t "
+                        f"{rate:.1f} it/s")
+                    sys.stdout.flush()
+                    if metrics_logger is not None:
+                        metrics_logger.log(step=j, loss=float(losses[j - i]),
+                                           steps_per_s=rate)
+        # snapshots/evals land on the first call boundary at/after each
+        # configured step (the per-step path hits them exactly; a mid-window
+        # state no longer exists here). The final step's snapshot/eval below
+        # covers end == max_iter.
+        inside = [j for j in range(i, end) if j > 0]
+        if end < max_iter:
+            if snapshot_dir and snapshot_freq and any(
+                    j % snapshot_freq == 0 for j in inside):
+                checkpoints.save_snapshot(snapshot_dir, state, step=end)
+                log("Saved a snapshot.")
+            if eval_fn is not None and eval_freq and any(
+                    j % eval_freq == 0 for j in inside):
+                run_eval(state, end)
+        i = end
+    if eval_fn is not None:
+        run_eval(state, max_iter)
+    if snapshot_dir:
+        checkpoints.save_snapshot(snapshot_dir, state, step=max_iter)
     return state
 
 

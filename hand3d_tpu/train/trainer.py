@@ -59,31 +59,10 @@ def init_state(params, optimizer):
     return TrainState(params, optimizer.init(params), jax.numpy.zeros((), jax.numpy.int32))
 
 
-def make_train_step(loss_fn, optimizer, mesh=None, donate=True, remat=False,
-                    accum_steps=1):
-    """Build a jitted train step for ``loss_fn(params, batch, key) -> scalar``.
-
-    If ``mesh`` is given, params/opt state use the TP sharding rules and the
-    batch is expected sharded over the "data" axis; otherwise single-device.
-    ``remat=True`` wraps the loss in jax.checkpoint, trading recompute for
-    activation memory (useful for large batches/resolutions on one chip).
-    ``remat`` may also name a jax.checkpoint_policies policy (e.g.
-    "dots_saveable" / "nothing_saveable" / "everything_saveable") for a
-    finer recompute/memory trade: dots_saveable keeps matmul/conv outputs
-    (MXU work is never recomputed, elementwise is), nothing_saveable
-    recomputes everything.
-
-    ``accum_steps > 1`` enables gradient accumulation: the batch's leading
-    axis is split into ``accum_steps`` equal microbatches, gradients of the
-    per-microbatch backward passes are averaged, and ONE optimizer update
-    is applied — activations are live one microbatch at a time, so the
-    effective batch can exceed what one forward/backward fits in HBM.
-    Exactly equal to the unaccumulated step when the loss is a mean over
-    samples; for losses with batch-coupled normalizers (e.g. the PoseNet
-    visibility-weighted loss, training_posenet.py:57-61) it is the standard
-    mean-of-microbatch-losses approximation. Each microbatch gets its own
-    fold of the step RNG key (dropout/aug noise stay i.i.d. per sample).
-    """
+def _make_step_core(loss_fn, optimizer, remat=False, accum_steps=1):
+    """Unjitted ``step(state, batch, key) -> (state, metrics)`` shared by the
+    per-step (make_train_step) and multi-step (make_resident_train_step)
+    builders — one definition of remat/accumulation/update semantics."""
     if remat:
         if isinstance(remat, str):
             policy = getattr(jax.checkpoint_policies, remat, None)
@@ -134,6 +113,37 @@ def make_train_step(loss_fn, optimizer, mesh=None, donate=True, remat=False,
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), {"loss": loss}
 
+    return step
+
+
+def make_train_step(loss_fn, optimizer, mesh=None, donate=True, remat=False,
+                    accum_steps=1):
+    """Build a jitted train step for ``loss_fn(params, batch, key) -> scalar``.
+
+    If ``mesh`` is given, params/opt state use the TP sharding rules and the
+    batch is expected sharded over the "data" axis; otherwise single-device.
+    ``remat=True`` wraps the loss in jax.checkpoint, trading recompute for
+    activation memory (useful for large batches/resolutions on one chip).
+    ``remat`` may also name a jax.checkpoint_policies policy (e.g.
+    "dots_saveable" / "nothing_saveable" / "everything_saveable") for a
+    finer recompute/memory trade: dots_saveable keeps matmul/conv outputs
+    (MXU work is never recomputed, elementwise is), nothing_saveable
+    recomputes everything.
+
+    ``accum_steps > 1`` enables gradient accumulation: the batch's leading
+    axis is split into ``accum_steps`` equal microbatches, gradients of the
+    per-microbatch backward passes are averaged, and ONE optimizer update
+    is applied — activations are live one microbatch at a time, so the
+    effective batch can exceed what one forward/backward fits in HBM.
+    Exactly equal to the unaccumulated step when the loss is a mean over
+    samples; for losses with batch-coupled normalizers (e.g. the PoseNet
+    visibility-weighted loss, training_posenet.py:57-61) it is the standard
+    mean-of-microbatch-losses approximation. Each microbatch gets its own
+    fold of the step RNG key (dropout/aug noise stay i.i.d. per sample).
+    """
+    step = _make_step_core(loss_fn, optimizer, remat=remat,
+                           accum_steps=accum_steps)
+
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -151,6 +161,52 @@ def make_train_step(loss_fn, optimizer, mesh=None, donate=True, remat=False,
         return step(state, batch, key)
 
     return jax.jit(sharded_step, donate_argnums=(0,) if donate else ())
+
+
+def make_resident_train_step(loss_fn, optimizer, donate=True, remat=False,
+                             accum_steps=1):
+    """Multi-step training over a device-resident dataset: ONE device call
+    runs ``K = idx.shape[0]`` full training steps under ``lax.scan``.
+
+    Motivation: the per-step path costs one host->device dispatch per step;
+    on a remote-tunneled chip that round trip (~1s) dwarfs the step's actual
+    compute (tens of ms at batch 8), capping training at ~1 it/s regardless
+    of the hardware. When the dataset fits HBM (fine-tuning, calibration,
+    the synthetic-overfit gate), parking it on device and scanning K steps
+    per call amortizes dispatch K-fold. The reference has no equivalent (TF1
+    queues still paid a sess.run per step, training_posenet.py:85-95).
+
+    Returns a jitted
+        ``multi(state, data, idx, base_key, step0) -> (state, losses[K])``
+    where ``data`` is the raw record dict with a leading record axis,
+    ``idx`` is an int32 [K, batch] table of record rows (one row per step,
+    host-computed with the same epoch shuffle as data.pipeline), and the
+    step-j key is ``fold_in(base_key, step0 + j)`` — exactly the key
+    train.loop.fit uses on the per-step path, so a resident run replays the
+    per-step run's exact batches and RNG keys (asserted by
+    tests/test_train_loop.py; numerics match to fusion-order float
+    tolerance). ``loss_fn`` must consume RAW record batches, i.e.
+    be wrapped with fuse_preprocess. K is static per compile; the loop uses
+    one ragged tail window at most.
+    """
+    step = _make_step_core(loss_fn, optimizer, remat=remat,
+                           accum_steps=accum_steps)
+
+    def multi(state, data, idx, base_key, step0):
+        def body(carry, inp):
+            step_idx, idx_row = inp
+            key = jax.random.fold_in(base_key, step_idx)
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.numpy.take(x, idx_row, axis=0), data
+            )
+            carry, metrics = step(carry, batch, key)
+            return carry, metrics["loss"]
+
+        steps = step0 + jax.numpy.arange(idx.shape[0], dtype=jax.numpy.int32)
+        state, losses = jax.lax.scan(body, state, (steps, idx))
+        return state, losses
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
 
 def shard_state(mesh, state):

@@ -588,3 +588,104 @@ def test_snapshot_prune_never_removes_the_new_snapshot(tmp_path):
         f.write("partial")
     save_snapshot(str(tmp_path), state, step=102)
     assert not os.path.exists(orphan)
+
+
+def test_resident_multistep_matches_per_step(tmp_path):
+    """fit(steps_per_call=K) is trajectory-identical to the per-step path:
+    same epoch shuffle, same per-step fold_in keys, same update math. The
+    scan body and the standalone step compile to differently-fused XLA
+    programs, so equality is up to float reassociation compounded by Adam
+    (measured <=2e-5 after 7 steps; a wrong batch or key diverges at 1e-2+),
+    not bitwise. max_iter=7 with K=3 also exercises the ragged
+    tail window (3+3+1) and an epoch rollover (spe=2)."""
+    from hand3d_tpu.data.preprocess import preprocess_rhd
+    from hand3d_tpu.train.trainer import fuse_preprocess
+
+    dataset = _dataset(tmp_path)
+    cfg = PreprocessConfig(hand_crop=True, use_wrist_coord=False,
+                           crop_size=32, coord_uv_noise=True,
+                           crop_center_noise=True)
+
+    def loss_fn(p, batch, key):
+        preds = posenet.apply(p[posenet.SCOPE], batch["image_crop"])
+        return posenet_scoremap_loss(preds, batch["scoremap"],
+                                     batch["keypoint_vis21"])
+
+    fused = fuse_preprocess(loss_fn, preprocess_rhd, cfg)
+
+    def run(steps_per_call):
+        pipeline = InputPipeline(dataset, cfg, batch_size=2, seed=5,
+                                 yield_raw=True)
+        params = {posenet.SCOPE: posenet.init(jax.random.PRNGKey(5))}
+        state = fit(fused, params, make_optimizer([1e-4], []), pipeline,
+                    max_iter=7, seed=5, show_loss_freq=0, snapshot_freq=0,
+                    steps_per_call=steps_per_call, log=lambda *a: None)
+        assert int(state.step) == 7
+        return state.params
+
+    per_step, resident = run(1), run(3)
+    for a, b in zip(jax.tree_util.tree_leaves(per_step),
+                    jax.tree_util.tree_leaves(resident)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=0)
+
+
+def test_resident_multistep_requires_fused_pipeline(tmp_path):
+    import pytest
+
+    dataset = _dataset(tmp_path)
+    cfg = PreprocessConfig(hand_crop=True, use_wrist_coord=False, crop_size=32)
+    pipeline = InputPipeline(dataset, cfg, batch_size=2)  # not yield_raw
+
+    def loss_fn(p, batch, key):
+        preds = posenet.apply(p[posenet.SCOPE], batch["image_crop"])
+        return posenet_scoremap_loss(preds, batch["scoremap"],
+                                     batch["keypoint_vis21"])
+
+    params = {posenet.SCOPE: posenet.init(jax.random.PRNGKey(0))}
+    with pytest.raises(ValueError, match="yield_raw"):
+        fit(loss_fn, params, make_optimizer([1e-4], []), pipeline,
+            max_iter=2, steps_per_call=2, show_loss_freq=0, snapshot_freq=0,
+            log=lambda *a: None)
+
+
+def test_resident_multistep_resume(tmp_path):
+    """Resume of a resident run continues the absolute step/key/index stream:
+    interrupted-then-resumed == straight-through, bitwise."""
+    from hand3d_tpu.data.preprocess import preprocess_rhd
+    from hand3d_tpu.train.trainer import fuse_preprocess
+
+    dataset = _dataset(tmp_path)
+    cfg = PreprocessConfig(hand_crop=True, use_wrist_coord=False,
+                           crop_size=32, coord_uv_noise=True)
+
+    def loss_fn(p, batch, key):
+        preds = posenet.apply(p[posenet.SCOPE], batch["image_crop"])
+        return posenet_scoremap_loss(preds, batch["scoremap"],
+                                     batch["keypoint_vis21"])
+
+    fused = fuse_preprocess(loss_fn, preprocess_rhd, cfg)
+
+    def fresh():
+        pipeline = InputPipeline(dataset, cfg, batch_size=2, seed=5,
+                                 yield_raw=True)
+        params = {posenet.SCOPE: posenet.init(jax.random.PRNGKey(5))}
+        return pipeline, params
+
+    pipeline, params = fresh()
+    snap = str(tmp_path / "res_snaps")
+    fit(fused, params, make_optimizer([1e-4], []), pipeline, max_iter=4,
+        seed=5, show_loss_freq=0, snapshot_freq=100, snapshot_dir=snap,
+        steps_per_call=2, log=lambda *a: None)
+    pipeline, params = fresh()
+    resumed = fit(fused, params, make_optimizer([1e-4], []), pipeline,
+                  max_iter=6, seed=5, show_loss_freq=0, snapshot_freq=100,
+                  snapshot_dir=snap, resume=True, steps_per_call=2,
+                  log=lambda *a: None)
+    pipeline, params = fresh()
+    straight = fit(fused, params, make_optimizer([1e-4], []), pipeline,
+                   max_iter=6, seed=5, show_loss_freq=0, snapshot_freq=0,
+                   steps_per_call=2, log=lambda *a: None)
+    for a, b in zip(jax.tree_util.tree_leaves(resumed.params),
+                    jax.tree_util.tree_leaves(straight.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
