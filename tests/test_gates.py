@@ -53,6 +53,24 @@ def test_overfit_gate_runs_end_to_end(tmp_path):
     assert "drop" in doc.read_text()
 
 
+def test_release_check_records_round(tmp_path):
+    # plumbing-only: all steps skipped, so this exercises argument handling,
+    # record writing and the markdown append without any heavy subprocess.
+    # The real per-round run is committed as RESULTS_r{N}.json.
+    proc = _run_tool(
+        ["tools/release_check.py", "--round", "97", "--out-dir", str(tmp_path),
+         "--skip", "chip_smoke", "bench", "overfit", "preset",
+         "multihost", "multichip"],
+        timeout=120,
+    )
+    record = json.loads((tmp_path / "RESULTS_r97.json").read_text())
+    assert record["round"] == 97 and record["commit"]
+    assert all(v["skipped"] for v in record["steps"].values())
+    # nothing ran -> the gate must NOT claim green
+    assert record["ok"] is False and proc.returncode == 1
+    assert "Round 97" in (tmp_path / "docs" / "RESULTS.md").read_text()
+
+
 @pytest.mark.slow
 def test_preset_accuracy_runs_end_to_end(tmp_path):
     doc = tmp_path / "PRESETS.md"

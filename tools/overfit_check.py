@@ -155,7 +155,12 @@ def main():
             entry = {"seconds": round(dt, 1), "steps": args.steps}
             if err is None:
                 losses, evals = _read_curve(os.path.join(work, f"{name}.jsonl"))
-                first, last = losses[0][1], losses[-1][1]
+                # median of the last 3 reports: the per-step loss at batch 8
+                # is noisy (augmentation resampled every step), and a single
+                # endpoint flaked the lifting gate in the round-3 calibration
+                # run (docs/OVERFIT.md) while the trend was clearly down
+                first = losses[0][1]
+                last = sorted(v for _, v in losses[-3:])[len(losses[-3:]) // 2]
                 ratio = first / max(last, 1e-12)
                 ok = ratio >= min_ratio
                 if eval_bound is not None:

@@ -1,0 +1,159 @@
+"""Re-measure every README perf row at the current commit (VERDICT round-2,
+next-round #4: "no number in README older than the commit that produced it").
+
+Each row is one subprocess running ``bench.py --child <batch>`` with the
+row's env overrides (same measurement methodology as the headline bench:
+chained data-dependent iterations, differential timing — see bench.py
+docstring). Batch-1 latency rows use the in-jit ``scan`` chaining method:
+at ~1.5 ms/frame the per-call host dispatch (~hundreds of ms through the
+tunnel) would dominate a pychain differential, so the chain must live on
+device; scan rows disable the Pallas floodfill (the round-1 bf16+scan+Pallas
+compiler wedge, VERDICT round-1).
+
+Writes/refreshes a stamped markdown table in docs/PERF.md plus a JSON line
+per row on stdout. README's summary table should quote this file's commit.
+
+Usage:
+  python tools/perf_table.py                    # all rows (~20 min warm)
+  python tools/perf_table.py --rows headline fast_b128
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (row key, description, batch, timeout_s, env overrides)
+# All rows default to bf16 compute + Pallas floodfill + pychain (the bench
+# headline path) unless overridden.
+_ROWS = [
+    ("parity_b32", "full cascade, parity, batch 32", 32, 420, {}),
+    ("headline", "full cascade, parity, batch 128", 128, 420, {}),
+    ("parity_b256", "full cascade, parity, batch 256", 256, 480, {}),
+    ("fast_b32", "fast preset seg_scale=0.5, batch 32", 32, 420,
+     {"HAND3D_BENCH_SEG_SCALE": "0.5"}),
+    ("fast_b128", "fast preset seg_scale=0.5, batch 128", 128, 420,
+     {"HAND3D_BENCH_SEG_SCALE": "0.5"}),
+    ("int8_b32", "int8 PTQ, batch 32", 32, 420,
+     {"HAND3D_BENCH_QUANT": "int8"}),
+    ("int8_fast_b32", "int8 + fast preset, batch 32", 32, 420,
+     {"HAND3D_BENCH_QUANT": "int8", "HAND3D_BENCH_SEG_SCALE": "0.5"}),
+    ("int8_fast_b128", "int8 + fast preset, batch 128", 128, 420,
+     {"HAND3D_BENCH_QUANT": "int8", "HAND3D_BENCH_SEG_SCALE": "0.5"}),
+    ("int8_pp_b32", "int8 + phase_pack (parity res), batch 32", 32, 420,
+     {"HAND3D_BENCH_QUANT": "int8", "HAND3D_BENCH_PHASEPACK": "1"}),
+    ("int8_pp_b128", "int8 + phase_pack (parity res), batch 128", 128, 420,
+     {"HAND3D_BENCH_QUANT": "int8", "HAND3D_BENCH_PHASEPACK": "1"}),
+    ("pp_b32", "phase_pack alone, batch 32", 32, 420,
+     {"HAND3D_BENCH_PHASEPACK": "1"}),
+    ("lat_b1", "batch-1 latency, parity (scan chain)", 1, 420,
+     {"HAND3D_BENCH_METHOD": "scan", "HAND3D_BENCH_CHAIN": "32",
+      "HAND3D_PALLAS": "0"}),
+    ("lat_b1_pp", "batch-1 latency, phase_pack (scan chain)", 1, 420,
+     {"HAND3D_BENCH_METHOD": "scan", "HAND3D_BENCH_CHAIN": "32",
+      "HAND3D_PALLAS": "0", "HAND3D_BENCH_PHASEPACK": "1"}),
+    ("lat_b1_fast", "batch-1 latency, fast preset (scan chain)", 1, 420,
+     {"HAND3D_BENCH_METHOD": "scan", "HAND3D_BENCH_CHAIN": "32",
+      "HAND3D_PALLAS": "0", "HAND3D_BENCH_SEG_SCALE": "0.5"}),
+]
+
+
+def _log(msg):
+    print(f"[perf_table] {msg}", file=sys.stderr, flush=True)
+
+
+def _git_rev():
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, cwd=REPO, timeout=10,
+        )
+        return out.stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def measure(batch, timeout, env_over):
+    env = dict(os.environ, **env_over)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "bench.py", "--child", str(batch)],
+            capture_output=True, text=True, timeout=timeout, cwd=REPO,
+            env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": f"TIMEOUT after {timeout}s"}
+    for line in proc.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    return {"error": f"rc={proc.returncode}: {(proc.stderr or '')[-400:]}"}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--rows", nargs="*", default=None,
+                    help="row keys to measure (default: all)")
+    ap.add_argument("--write-doc", default=os.path.join(REPO, "docs/PERF.md"))
+    args = ap.parse_args()
+    keys = {r[0] for r in _ROWS}
+    if args.rows:
+        unknown = set(args.rows) - keys
+        if unknown:
+            ap.error(f"unknown rows {sorted(unknown)}; available {sorted(keys)}")
+
+    results = []
+    for key, desc, batch, timeout, env_over in _ROWS:
+        if args.rows and key not in args.rows:
+            continue
+        _log(f"{key}: {desc}")
+        t0 = time.time()
+        r = measure(batch, timeout, env_over)
+        r.update(row=key, desc=desc, wall_s=round(time.time() - t0, 1),
+                 env={k: v for k, v in env_over.items()})
+        results.append(r)
+        print(json.dumps(r), flush=True)
+
+    if args.write_doc and not args.rows:
+        with open(args.write_doc, "w") as f:
+            f.write(_markdown(results))
+        _log(f"wrote {args.write_doc}")
+
+
+def _markdown(results):
+    method_note = (
+        "Method: bench.py chained data-dependent iterations, differential "
+        "timing (pychain for batch>=8, in-jit scan for batch 1); bf16 "
+        "compute; one v5e chip."
+    )
+    lines = [
+        "# Measured performance rows",
+        "",
+        f"Commit **{_git_rev()}**, regenerated by `python tools/perf_table.py`.",
+        method_note,
+        "",
+        "| Row | Config | Batch | frames/s | ms/frame | Env |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        if "value" in r:
+            fps = r["value"]
+            msf = 1000.0 / fps if fps else float("nan")
+            cell = f"{fps:.1f}", f"{msf:.2f}"
+        else:
+            cell = f"FAILED: {r.get('error')}", ""
+        env = " ".join(f"{k.replace('HAND3D_BENCH_', '').replace('HAND3D_', '')}"
+                       f"={v}" for k, v in r["env"].items()) or "—"
+        lines.append(
+            f"| {r['row']} | {r['desc']} | {r.get('batch', '')} "
+            f"| {cell[0]} | {cell[1]} | {env} |"
+        )
+    lines.append("")
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,218 @@
+"""Round-gate orchestrator: run every end-of-round check, commit the record.
+
+Round 2's lesson (VERDICT round-2, missing #3): gates that run only in chat
+are evidence of nothing. This tool runs the full end-of-round ladder —
+
+  chip_smoke   every program shape compiles + runs on the real chip
+  bench        the headline throughput measurement (bench.py ladder)
+  overfit      all four trainers optimize on the chip (tools/overfit_check)
+  preset       speed-preset accuracy bounds vs the f32 cascade
+  multihost    REAL 2-process gloo DP training in lock step (pytest)
+  multichip    8-virtual-device mesh dry run (__graft_entry__.dryrun_multichip)
+
+— each in a subprocess with a hard timeout, and writes ``RESULTS_r{N}.json``
+plus an appended section in ``docs/RESULTS.md``, both stamped with the commit
+they measured. The JSON is the round's machine-checkable record; a step that
+fails is recorded as failed, never silently dropped.
+
+Usage:
+  python tools/release_check.py --round 3                # everything
+  python tools/release_check.py --round 3 --skip overfit # compose
+  python tools/release_check.py --round 3 --steps chip_smoke bench
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _log(msg):
+    print(f"[release_check] {msg}", file=sys.stderr, flush=True)
+
+
+def _git_rev():
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, cwd=REPO, timeout=10,
+        )
+        return out.stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def _last_json_line(text):
+    for line in reversed(text.splitlines()):
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def _steps(args, work):
+    """Ordered step table: name -> (argv, timeout_s, env_overrides)."""
+    overfit_dir = args.overfit_dir or os.path.join(work, "overfit")
+    py = sys.executable
+    # the multichip dry run and the multihost test pin themselves to CPU;
+    # everything else runs on the session's default platform (the real chip)
+    cpu_env = {"JAX_PLATFORMS": "cpu",
+               "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    return {
+        "chip_smoke": ([py, "tools/chip_smoke.py"], 1800, {}),
+        "bench": ([py, "bench.py"], 1500, {}),
+        "overfit": (
+            [py, "tools/overfit_check.py", "--steps", str(args.overfit_steps),
+             "--keep", overfit_dir],
+            4500, {},
+        ),
+        "preset": (
+            [py, "tools/preset_accuracy.py", "--overfit-dir", overfit_dir],
+            1800, {},
+        ),
+        "multihost": (
+            [py, "-m", "pytest", "tests/test_multiprocess.py", "-x", "-q"],
+            1500, {},
+        ),
+        "multichip": (
+            [py, "-c",
+             "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+            1500, cpu_env,
+        ),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--skip", nargs="*", default=[])
+    ap.add_argument("--steps", nargs="*", default=None,
+                    help="run only these steps (default: all)")
+    ap.add_argument("--overfit-steps", type=int, default=600)
+    ap.add_argument("--overfit-dir", default=None,
+                    help="reuse an existing overfit_check --keep dir for the "
+                         "preset step (and skip re-training if 'overfit' is "
+                         "also in --skip)")
+    ap.add_argument("--work", default="/tmp/release_check",
+                    help="scratch dir for intermediate artifacts")
+    ap.add_argument("--out-dir", default=REPO,
+                    help="where RESULTS_r{N}.json + docs/RESULTS.md land "
+                         "(default: the repo; tests point this elsewhere)")
+    args = ap.parse_args()
+
+    os.makedirs(args.work, exist_ok=True)
+    table = _steps(args, args.work)
+    selected = args.steps or list(table)
+    unknown = [s for s in selected + args.skip if s not in table]
+    if unknown:
+        ap.error(f"unknown step(s): {unknown}; available: {list(table)}")
+
+    results = {}
+    for name in table:
+        if name not in selected or name in args.skip:
+            results[name] = {"ok": None, "skipped": True}
+            _log(f"{name}: SKIPPED")
+            continue
+        argv, timeout, env_over = table[name]
+        _log(f"{name}: {' '.join(argv)} (timeout {timeout}s)")
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                argv, capture_output=True, text=True, timeout=timeout,
+                cwd=REPO, env=dict(os.environ, **env_over),
+            )
+            ok = proc.returncode == 0
+            entry = {"ok": ok, "seconds": round(time.time() - t0, 1),
+                     "returncode": proc.returncode}
+            summary = _last_json_line(proc.stdout)
+            if summary is not None:
+                entry["summary"] = summary
+            if not ok:
+                entry["stderr_tail"] = (proc.stderr or "")[-1500:]
+                entry["stdout_tail"] = (proc.stdout or "")[-800:]
+        except subprocess.TimeoutExpired:
+            entry = {"ok": False, "seconds": round(time.time() - t0, 1),
+                     "error": f"TIMEOUT after {timeout}s"}
+        results[name] = entry
+        _log(f"{name}: {'PASS' if entry['ok'] else 'FAIL'} "
+             f"({entry['seconds']}s)")
+
+    ran = {k: v for k, v in results.items() if not v.get("skipped")}
+    record = {
+        "round": args.round,
+        "commit": _git_rev(),
+        "utc": time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
+        "ok": all(v["ok"] for v in ran.values()) and bool(ran),
+        "steps": results,
+    }
+    out = os.path.join(args.out_dir, f"RESULTS_r{args.round:02d}.json")
+    with open(out, "w") as f:
+        json.dump(record, f, indent=1)
+        f.write("\n")
+    _append_doc(record, args.out_dir)
+    print(json.dumps({"gate": "release_check", "ok": record["ok"],
+                      "out": out,
+                      "steps": {k: v.get("ok") for k, v in results.items()}}),
+          flush=True)
+    raise SystemExit(0 if record["ok"] else 1)
+
+
+def _one_line(name, entry):
+    if entry.get("skipped"):
+        return f"| {name} | SKIPPED | | |"
+    flag = "PASS" if entry["ok"] else "FAIL"
+    s = entry.get("summary") or {}
+    if name == "bench" and "value" in s:
+        detail = f"{s['value']} {s.get('unit', '')} (batch {s.get('batch')})"
+    elif name == "chip_smoke" and "phases" in s:
+        n = len(s["phases"])
+        good = sum(1 for p in s["phases"].values() if p.get("ok"))
+        detail = f"{good}/{n} phases"
+    elif name == "overfit" and "trainers" in s:
+        detail = "; ".join(
+            f"{t} {r.get('drop_ratio', '?')}x" for t, r in s["trainers"].items()
+        )
+    elif name == "preset" and "presets" in s:
+        detail = "; ".join(
+            f"{p} uv {d['uv21_epe_px']['p95']:.2f}px p95"
+            for p, d in s["presets"].items()
+        )
+    else:
+        detail = entry.get("error", "")
+    return f"| {name} | {flag} | {entry.get('seconds', '')}s | {detail} |"
+
+
+def _append_doc(record, out_dir):
+    docs = os.path.join(out_dir, "docs")
+    os.makedirs(docs, exist_ok=True)
+    path = os.path.join(docs, "RESULTS.md")
+    header = (
+        "# Round-gate records\n\n"
+        "Appended by tools/release_check.py; the machine-readable record is "
+        "RESULTS_r{N}.json at the repo root.\n"
+    )
+    lines = [
+        "",
+        f"## Round {record['round']} — commit {record['commit']} "
+        f"({record['utc']} UTC) — {'GREEN' if record['ok'] else 'RED'}",
+        "",
+        "| Step | Status | Wall | Detail |",
+        "|---|---|---|---|",
+    ]
+    lines += [_one_line(k, v) for k, v in record["steps"].items()]
+    lines.append("")
+    exists = os.path.exists(path)
+    with open(path, "a") as f:
+        if not exists:
+            f.write(header)
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
