@@ -33,59 +33,68 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
-def _trainers(steps, data_dir, log_dir):
+def _trainers(steps, data_dir, log_dir, steps_per_call):
     # Trainer CLIs take the .bin FILE (cli/train_*.py "--data: Path to
     # rhd_training.bin" -> RHDDataset -> np.memmap), never a directory.
     train_bin = os.path.join(data_dir, "rhd_training.bin")
     eval_bin = os.path.join(data_dir, "rhd_evaluation.bin")
-    freq = max(1, steps // 12)
-    common = [
-        "--data", train_bin, "--batch-size", "8",
-        "--max-iter", str(steps), "--show-loss-freq", str(freq),
-        "--snapshot-freq", str(10 * steps),  # final snapshot only
-    ]
+
+    def common(n_steps):
+        return [
+            "--data", train_bin, "--batch-size", "8",
+            "--max-iter", str(n_steps),
+            "--show-loss-freq", str(max(1, n_steps // 12)),
+            "--snapshot-freq", str(10 * n_steps),  # final snapshot only
+            "--steps-per-call", str(steps_per_call),
+            "--lr", "1e-4", "1e-4", "--lr-iter", "1000000",
+        ]
 
     def log(name):
         return os.path.join(log_dir, f"{name}.jsonl")
 
-    # min_ratio thresholds are calibrated at --steps 600 against a real
-    # chip run (docs/OVERFIT.md); bars sit ~30-40% below the measured drop
-    # so seed jitter cannot flake the gate while a real optimization
-    # regression (flat curve ~= 1x) still fails it loudly.
+    # Per-trainer step budgets and bars, calibrated against real chip runs
+    # (docs/OVERFIT.md): handsegnet collapses 7.7x inside ``steps``;
+    # lifting needs ~2x the steps for a stable 10x drop (its batch-8 curve
+    # is noisy); posenet/joint train a 17M-param CPM FROM SCRATCH — the
+    # reference never does that (it warm-starts from CPM-MPII,
+    # training_posenet.py:74-76) and the loss barely moves for the first
+    # ~1.5k steps before the net starts localizing, so they get 5x the
+    # steps and their assertion is the memorization EPE, not the ratio.
+    # Bars sit well below measured values so seed jitter cannot flake the
+    # gate while a flat curve (~1x) still fails loudly. All runs use the
+    # highest reference LR tier held constant and the device-resident
+    # multi-step path (cheap: ~9 it/s vs ~1 it/s per-step through the
+    # device tunnel).
     return {
-        # reference LRs are tuned for 30-80k-step runs; overfit runs use the
-        # highest reference LR tier held constant
         "handsegnet": (
-            ["-m", "hand3d_tpu.cli.train_handsegnet", *common,
-             "--lr", "1e-4", "1e-4", "--lr-iter", "1000000",
+            ["-m", "hand3d_tpu.cli.train_handsegnet", *common(steps),
              "--snapshot-dir", os.path.join(log_dir, "snap_seg"),
              "--metrics-log", log("handsegnet")],
-            5.0, None,
+            5.0, None,  # measured 7.7x at 600
         ),
         "posenet": (
-            ["-m", "hand3d_tpu.cli.train_posenet", *common,
-             "--lr", "1e-4", "1e-4", "--lr-iter", "1000000",
+            ["-m", "hand3d_tpu.cli.train_posenet", *common(5 * steps),
              "--snapshot-dir", os.path.join(log_dir, "snap_pose"),
-             "--eval-data", eval_bin, "--eval-freq", str(steps),
+             "--eval-data", eval_bin, "--eval-freq", str(5 * steps),
              "--metrics-log", log("posenet")],
             # augmentation noise keeps the loss floor up; the memorization
             # EPE (GT-cropped eval on the same 16 records) is the assertion
             # that the net LOCALIZES, not just that a scalar shrank
-            2.0, ("eval_epe_mean_px", 20.0),
+            # (measured 1.4x / 6.4px mean EPE / 0.84 AUC at 3000)
+            1.2, ("eval_epe_mean_px", 15.0),
         ),
         "lifting": (
-            ["-m", "hand3d_tpu.cli.train_lifting", *common,
-             "--variant", "proposed", "--lr", "1e-4", "1e-4", "--lr-iter", "1000000",
+            ["-m", "hand3d_tpu.cli.train_lifting", *common(2 * steps),
+             "--variant", "proposed",
              "--snapshot-dir", os.path.join(log_dir, "snap_lift"),
              "--metrics-log", log("lifting")],
-            4.0, None,  # measured 4.95-5x at 600 steps; 10x at 1200
+            4.0, None,  # measured ~10x at 1200
         ),
         "joint": (
-            ["-m", "hand3d_tpu.cli.train_joint", *common,
-             "--lr", "1e-4", "1e-4", "--lr-iter", "1000000",
+            ["-m", "hand3d_tpu.cli.train_joint", *common(5 * steps),
              "--snapshot-dir", os.path.join(log_dir, "snap_joint"),
              "--metrics-log", log("joint")],
-            2.0, None,
+            1.2, None,
         ),
     }
 
@@ -107,7 +116,12 @@ def _read_curve(path):
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--steps", type=int, default=600,
+                    help="Base step budget; lifting runs 2x, posenet/joint "
+                         "5x this (see _trainers)")
+    ap.add_argument("--steps-per-call", type=int, default=50,
+                    help="Device-resident multi-step window (trainer CLIs' "
+                         "--steps-per-call)")
     ap.add_argument("--records", type=int, default=16)
     ap.add_argument("--only", default=None,
                     choices=["handsegnet", "posenet", "lifting", "joint"])
@@ -135,7 +149,7 @@ def main():
         make_rhd_bin(os.path.join(data_dir, "rhd_evaluation.bin"),
                      num_records=args.records)
 
-        trainers = _trainers(args.steps, data_dir, work)
+        trainers = _trainers(args.steps, data_dir, work, args.steps_per_call)
         for name, (argv, min_ratio, eval_bound) in trainers.items():
             if args.only and name != args.only:
                 continue
@@ -152,7 +166,8 @@ def main():
                 err = f"TIMEOUT after {args.timeout}s"
             dt = time.time() - t0
 
-            entry = {"seconds": round(dt, 1), "steps": args.steps}
+            n_steps = int(argv[argv.index("--max-iter") + 1])
+            entry = {"seconds": round(dt, 1), "steps": n_steps}
             if err is None:
                 losses, evals = _read_curve(os.path.join(work, f"{name}.jsonl"))
                 # median of the last 3 reports: the per-step loss at batch 8
