@@ -52,6 +52,13 @@ def load_weight_trees(paths, exclude_var_list=None):
     for path in paths:
         if path.endswith(".npz"):
             tree = load_npz(path)
+        elif path.endswith(".msgpack"):
+            # native training snapshot: params only, optimizer state
+            # dropped (the reference's load_weights_from_snapshot
+            # semantics, utils/general.py:614-651)
+            from hand3d_tpu.train.checkpoints import load_snapshot_params
+
+            tree = load_snapshot_params(path)
         elif path.endswith(".index") or os.path.exists(path + ".index"):
             tree = _load_tf_ckpt_tree(path)
         else:

@@ -84,6 +84,21 @@ def restore_snapshot(path, template_state):
         return serialization.from_bytes(template_state, f.read())
 
 
+def load_snapshot_params(path):
+    """Params-only read of a snapshot-<step>.msgpack, no template needed.
+
+    The native analog of the reference's load_weights_from_snapshot
+    (utils/general.py:614-651), which reads a TRAINING snapshot while
+    discarding optimizer state ('Adam', 'global_step', 'beta' —
+    eval2d.py:70-75): the raw msgpack tree is deserialized and only the
+    params subtree returned, so a training snapshot can seed fine-tuning
+    or eval without reconstructing the optimizer that produced it.
+    """
+    with open(path, "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+    return tree["params"]
+
+
 def export_params(path, params):
     """Params-only export (.npz), loadable via hand3d_tpu.weights.load_npz."""
     save_npz(path, params)

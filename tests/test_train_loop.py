@@ -205,6 +205,27 @@ def test_export_import_params(tmp_path):
     )
 
 
+def test_snapshot_loads_as_weights_for_warm_start(tmp_path):
+    """A training snapshot feeds --weights directly: params come back with
+    optimizer state dropped (the reference's load_weights_from_snapshot
+    semantics, utils/general.py:614-651), merged by scope so the overfit
+    gate's joint warm-start (tools/overfit_check.py) works."""
+    import optax
+    from hand3d_tpu.cli._common import load_weight_trees
+    from hand3d_tpu.train import checkpoints
+    from hand3d_tpu.train.trainer import init_state
+
+    params = {"PoseNet2D": posenet.init(jax.random.PRNGKey(0))}
+    state = init_state(params, optax.adam(1e-4))
+    path = checkpoints.save_snapshot(str(tmp_path), state, step=7)
+    tree = load_weight_trees([path])
+    assert set(tree) == {"PoseNet2D"}
+    np.testing.assert_array_equal(
+        np.asarray(params["PoseNet2D"]["conv1_1"]["weights"]),
+        tree["PoseNet2D"]["conv1_1"]["weights"],
+    )
+
+
 def test_fused_train_step_matches_unfused_losslessly(tmp_path):
     """fuse_preprocess(loss) over raw records == loss over preprocessed
     features when the preprocessing is deterministic (no aug)."""

@@ -53,48 +53,65 @@ def _trainers(steps, data_dir, log_dir, steps_per_call):
         return os.path.join(log_dir, f"{name}.jsonl")
 
     # Per-trainer step budgets and bars, calibrated against real chip runs
-    # (docs/OVERFIT.md): handsegnet collapses 7.7x inside ``steps``;
-    # lifting needs ~2x the steps for a stable 10x drop (its batch-8 curve
-    # is noisy); posenet/joint train a 17M-param CPM FROM SCRATCH — the
-    # reference never does that (it warm-starts from CPM-MPII,
-    # training_posenet.py:74-76) and the loss barely moves for the first
-    # ~1.5k steps before the net starts localizing, so they get 5x the
-    # steps and their assertion is the memorization EPE, not the ratio.
-    # Bars sit well below measured values so seed jitter cannot flake the
-    # gate while a flat curve (~1x) still fails loudly. All runs use the
-    # highest reference LR tier held constant and the device-resident
-    # multi-step path (cheap: ~9 it/s vs ~1 it/s per-step through the
-    # device tunnel).
+    # (docs/OVERFIT.md): handsegnet collapses 7.5-7.7x inside ``steps``;
+    # lifting needs ~2x the steps for a stable 6-10x drop (its batch-8
+    # curve is noisy); posenet/joint train a 17M-param CPM FROM SCRATCH —
+    # the reference never does that (it warm-starts from CPM-MPII,
+    # training_posenet.py:74-76) — with the reference's augmentation noise
+    # ON, so their scoremap-loss floor is the NOISE floor and the ratio is
+    # a bad statistic (measured 1.12x and 1.4x across two runs in which the
+    # net demonstrably localized at ~6.4 px memorization EPE). For those
+    # two the assertion is the memorization EPE of the end-of-run eval
+    # hook; the ratio bar is 0.9, a pure divergence backstop (a blown-up
+    # or NaN run fails it, noise cannot). All runs use the highest
+    # reference LR tier held constant and the device-resident multi-step
+    # path (cheap: ~9-77 it/s vs ~1 it/s per-step through the device
+    # tunnel).
     return {
         "handsegnet": (
             ["-m", "hand3d_tpu.cli.train_handsegnet", *common(steps),
              "--snapshot-dir", os.path.join(log_dir, "snap_seg"),
              "--metrics-log", log("handsegnet")],
-            5.0, None,  # measured 7.7x at 600
+            5.0, None,  # measured 7.5x / 7.7x at 600
         ),
         "posenet": (
             ["-m", "hand3d_tpu.cli.train_posenet", *common(5 * steps),
              "--snapshot-dir", os.path.join(log_dir, "snap_pose"),
              "--eval-data", eval_bin, "--eval-freq", str(5 * steps),
              "--metrics-log", log("posenet")],
-            # augmentation noise keeps the loss floor up; the memorization
-            # EPE (GT-cropped eval on the same 16 records) is the assertion
-            # that the net LOCALIZES, not just that a scalar shrank
-            # (measured 1.4x / 6.4px mean EPE / 0.84 AUC at 3000)
-            1.2, ("eval_epe_mean_px", 15.0),
+            # GT-cropped 2D eval on the training records: the net must
+            # LOCALIZE (measured 6.41 px mean / 2.99 px median / 0.84
+            # AUC at 3000 steps, twice)
+            0.9, ("eval_epe_mean_px", 15.0),
         ),
         "lifting": (
             ["-m", "hand3d_tpu.cli.train_lifting", *common(2 * steps),
              "--variant", "proposed",
              "--snapshot-dir", os.path.join(log_dir, "snap_lift"),
              "--metrics-log", log("lifting")],
-            4.0, None,  # measured ~10x at 1200
+            4.0, None,  # measured 6.3x / ~10x at 1200
         ),
         "joint": (
-            ["-m", "hand3d_tpu.cli.train_joint", *common(5 * steps),
+            # fine-tuning, not from-scratch: warm-started from THIS run's
+            # posenet + lifting snapshots (the reference's staged practice
+            # — its shipped finetuned pickle was produced from pretrained
+            # stages; a from-scratch joint run measured 75 mm EPE at 3000
+            # steps, docs/OVERFIT.md). Runs after both stages in dict
+            # order; --only joint therefore needs a prior full run's
+            # --keep dir as log_dir.
+            ["-m", "hand3d_tpu.cli.train_joint", *common(2 * steps),
+             "--weights",
+             os.path.join(log_dir, "snap_pose",
+                          f"snapshot-{5 * steps}.msgpack"),
+             os.path.join(log_dir, "snap_lift",
+                          f"snapshot-{2 * steps}.msgpack"),
              "--snapshot-dir", os.path.join(log_dir, "snap_joint"),
+             "--eval-data", eval_bin, "--eval-freq", str(2 * steps),
              "--metrics-log", log("joint")],
-            1.2, None,
+            # end-to-end 3D eval (PoseNet scoremaps -> lifting -> mm via
+            # keypoint_scale) on the training records; bound calibrated
+            # against the measured memorization value (docs/OVERFIT.md)
+            0.9, ("eval_epe_mean_mm", 40.0),
         ),
     }
 
