@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
-def _trainers(steps, data_dir, log_dir, steps_per_call):
+def _trainers(steps, data_dir, log_dir, steps_per_call, qat=False):
     # Trainer CLIs take the .bin FILE (cli/train_*.py "--data: Path to
     # rhd_training.bin" -> RHDDataset -> np.memmap), never a directory.
     train_bin = os.path.join(data_dir, "rhd_training.bin")
@@ -47,6 +47,7 @@ def _trainers(steps, data_dir, log_dir, steps_per_call):
             "--snapshot-freq", str(10 * n_steps),  # final snapshot only
             "--steps-per-call", str(steps_per_call),
             "--lr", "1e-4", "1e-4", "--lr-iter", "1000000",
+            *(["--qat"] if qat else []),
         ]
 
     def log(name):
@@ -150,6 +151,11 @@ def main():
                     help="Persist the work dir (synthetic data + final "
                          "snapshots) here — e.g. to feed "
                          "tools/preset_accuracy.py the overfit weights")
+    ap.add_argument("--qat", action="store_true",
+                    help="Train all four stages under the int8 "
+                         "quantization-aware view (trainer CLIs' --qat), "
+                         "producing weights for a preset_accuracy int8 "
+                         "drift-bound comparison against PTQ")
     args = ap.parse_args()
 
     from fixtures import make_rhd_bin
@@ -166,7 +172,8 @@ def main():
         make_rhd_bin(os.path.join(data_dir, "rhd_evaluation.bin"),
                      num_records=args.records)
 
-        trainers = _trainers(args.steps, data_dir, work, args.steps_per_call)
+        trainers = _trainers(args.steps, data_dir, work, args.steps_per_call,
+                             qat=args.qat)
         for name, (argv, min_ratio, eval_bound) in trainers.items():
             if args.only and name != args.only:
                 continue
@@ -226,7 +233,7 @@ def main():
 
     gate_ok = all(r["ok"] for r in results.values())
     summary = {"gate": "overfit_check", "ok": gate_ok, "steps": args.steps,
-               "records": args.records, "trainers": results}
+               "records": args.records, "qat": args.qat, "trainers": results}
     print(json.dumps(summary), flush=True)
 
     if args.write_doc:
@@ -250,7 +257,9 @@ def _markdown(summary):
     lines = [
         "",
         f"## Synthetic-overfit run ({summary['records']} records, "
-        f"{summary['steps']} steps, batch 8) — commit {_git_rev()}",
+        f"{summary['steps']} steps, batch 8"
+        f"{', QAT int8 view' if summary.get('qat') else ''}) "
+        f"— commit {_git_rev()}",
         "",
         "| Trainer | loss first → last | drop | memorization eval | wall |",
         "|---|---|---|---|---|",

@@ -146,6 +146,9 @@ def main():
     ap.add_argument("--images", type=int, default=32)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--write-doc", default=None)
+    ap.add_argument("--label", default=None,
+                    help="weights label for the doc section title (e.g. "
+                         "'overfit+QAT'); default: overfit|random_init")
     args = ap.parse_args()
     if not args.overfit_dir and not args.random_init:
         ap.error("pass --overfit-dir DIR (preferred) or --random-init")
@@ -179,7 +182,8 @@ def main():
 
     summary = {
         "gate": "preset_accuracy",
-        "weights": "overfit" if args.overfit_dir else "random_init",
+        "weights": args.label or ("overfit" if args.overfit_dir
+                                  else "random_init"),
         "images": args.images,
         "platform": jax.devices()[0].platform,
         "presets": results,
