@@ -66,7 +66,22 @@ def is_quantized(params):
     return isinstance(params, dict) and "weights_q" in params
 
 
-def quantize_params_int8(params, min_in_chan=128,
+def _eligible(w, min_in_chan, min_out_chan):
+    """Shared PTQ/QAT layer gate — the two paths MUST quantize the same set.
+
+    ``in_chan`` gates the bandwidth-bound early layers (no MXU win there);
+    ``out_chan`` gates the PREDICTION HEADS: the 21-channel scoremap convs
+    (posenet conv5_2/conv6_7/conv7_7, handsegnet conv6_2) are where int8
+    rounding turns directly into keypoint argmax flips — the dominant term
+    of the measured int8 drift bound (docs/PRESETS.md) — while their FLOPs
+    share is ~0.1% of the cascade, so keeping them float is accuracy for
+    free. 1x1 convs and FCs with >= 32 outputs stay quantized.
+    """
+    in_chan = w.shape[-2] if w.ndim == 4 else w.shape[0]
+    return in_chan >= min_in_chan and w.shape[-1] >= min_out_chan
+
+
+def quantize_params_int8(params, min_in_chan=128, min_out_chan=32,
                          skip_substrings=("upconv", "deconv")):
     """Rewrite {"weights", "biases"} layer dicts in a param pytree into the
     int8 layout ({"weights_q", "weight_scale", "biases"}). Idempotent.
@@ -80,6 +95,10 @@ def quantize_params_int8(params, min_in_chan=128,
     layers). 128 keeps conv3_1 onwards + the PoseNet refiners + all FC
     layers quantized. Pass 0 to quantize everything.
 
+    ``min_out_chan``: layers with fewer OUTPUT channels stay float — this
+    keeps the prediction heads exact (see ``_eligible``). Pass 0 to
+    disable.
+
     ``skip_substrings``: subtrees whose key matches stay float. Defaults to
     transposed-conv names: their kernels use the [kh, kw, OUT, IN] layout
     (so the channel gate and per-output-channel scales would read the
@@ -89,8 +108,7 @@ def quantize_params_int8(params, min_in_chan=128,
     if isinstance(params, dict):
         if "weights" in params and "biases" in params:
             w = jnp.asarray(params["weights"])
-            in_chan = w.shape[-2] if w.ndim == 4 else w.shape[0]
-            if in_chan < min_in_chan:
+            if not _eligible(w, min_in_chan, min_out_chan):
                 return dict(params)
             w_q, scale = quantize_weights_int8(w)
             return {
@@ -102,7 +120,8 @@ def quantize_params_int8(params, min_in_chan=128,
             return dict(params)
         return {
             k: (v if any(s in k for s in skip_substrings)
-                else quantize_params_int8(v, min_in_chan, skip_substrings))
+                else quantize_params_int8(v, min_in_chan, min_out_chan,
+                                          skip_substrings))
             for k, v in params.items()
         }
     return params
@@ -138,7 +157,7 @@ def fake_quant_act(x):
     return _ste(x, q)
 
 
-def qat_view(params, min_in_chan=128,
+def qat_view(params, min_in_chan=128, min_out_chan=32,
              skip_substrings=("upconv", "deconv")):
     """Quantization-aware-training view of a param tree.
 
@@ -163,13 +182,13 @@ def qat_view(params, min_in_chan=128,
     """
     if isinstance(params, dict):
         if "weights" in params and "biases" in params:
-            w = params["weights"]
-            in_chan = w.shape[-2] if w.ndim == 4 else w.shape[0]
-            if in_chan < min_in_chan:
+            if not _eligible(params["weights"], min_in_chan, min_out_chan):
                 return params
-            return {"weights_fq": w, "biases": params["biases"]}
+            return {"weights_fq": params["weights"],
+                    "biases": params["biases"]}
         return {k: (v if any(s in k for s in skip_substrings)
-                    else qat_view(v, min_in_chan, skip_substrings))
+                    else qat_view(v, min_in_chan, min_out_chan,
+                                  skip_substrings))
                 for k, v in params.items()}
     return params
 

@@ -47,7 +47,7 @@ def test_conv2d_int8_matches_fp32_within_quant_error(rng):
 
 def test_conv2d_int8_stride_matches(rng):
     params = nn.conv_init(KEY, 3, 3, 8, 16)
-    qparams = quantize_params_int8(params, min_in_chan=0)
+    qparams = quantize_params_int8(params, min_in_chan=0, min_out_chan=0)
     x = jnp.asarray(rng.randn(1, 9, 11, 8).astype(np.float32))
     ref = nn.conv2d(x, params, stride=2)
     got = nn.conv2d(x, qparams, stride=2)
@@ -66,7 +66,7 @@ def test_dense_int8_matches_fp32_within_quant_error(rng):
 
 def test_conv2d_transpose_dequant_fallback(rng):
     params = nn.bilinear_upconv_init(4, 8)
-    qparams = quantize_params_int8(params, min_in_chan=0)
+    qparams = quantize_params_int8(params, min_in_chan=0, min_out_chan=0)
     x = jnp.asarray(rng.rand(1, 5, 6, 8).astype(np.float32))
     ref = nn.conv2d_transpose(x, params)
     got = nn.conv2d_transpose(x, qparams)
@@ -80,10 +80,10 @@ def test_quantize_params_tree_transform_and_idempotence():
             "fc": nn.dense_init(KEY, 8, 4),
         }
     }
-    q = quantize_params_int8(tree, min_in_chan=0)
+    q = quantize_params_int8(tree, min_in_chan=0, min_out_chan=0)
     assert set(q["Net"]["conv1"]) == {"weights_q", "weight_scale", "biases"}
     assert set(q["Net"]["fc"]) == {"weights_q", "weight_scale", "biases"}
-    q2 = quantize_params_int8(q, min_in_chan=0)
+    q2 = quantize_params_int8(q, min_in_chan=0, min_out_chan=0)
     np.testing.assert_array_equal(
         np.asarray(q2["Net"]["conv1"]["weights_q"]),
         np.asarray(q["Net"]["conv1"]["weights_q"]),
@@ -104,6 +104,30 @@ def test_selective_quantization_by_input_channels():
     assert "weights" in q["conv_narrow"]  # untouched
     assert "weights_q" in q["conv_wide"]
     assert "weights_q" in q["fc"]
+
+
+def test_prediction_heads_stay_float():
+    """min_out_chan keeps the scoremap/prediction heads exact: int8 rounding
+    in a 21-channel head turns directly into keypoint argmax flips for a
+    ~0.1% FLOPs saving (docs/PRESETS.md drift analysis)."""
+    from hand3d_tpu.models import handsegnet, posenet
+
+    q = quantize_params_int8(posenet.init(KEY))
+    for head in ("conv5_2", "conv6_7", "conv7_7"):
+        assert "weights" in q[head], f"{head} must stay float"
+    # wide mid-net layers are still on the int8 MXU path
+    for wide in ("conv4_4", "conv6_2", "conv7_3"):
+        assert "weights_q" in q[wide], f"{wide} must be quantized"
+
+    qs = quantize_params_int8(handsegnet.init(KEY))
+    assert "weights" in qs["conv6_2"]  # 2-channel segmentation head
+    assert "weights_q" in qs["conv5_1"]
+
+    # QAT view must gate the SAME set
+    from hand3d_tpu.ops.quant import qat_view
+
+    v = qat_view(posenet.init(KEY))
+    assert "weights" in v["conv5_2"] and "weights_fq" in v["conv4_4"]
 
 
 def test_cascade_int8_close_to_fp32(rng):
@@ -163,12 +187,13 @@ def test_qat_training_reduces_loss(rng):
     import optax
     from hand3d_tpu.ops.quant import qat_view
 
-    params = {"layer": nn.dense_init(KEY, 128, 16)}
+    params = {"layer": nn.dense_init(KEY, 128, 16)}  # out 16: needs min_out_chan=0
     x = jnp.asarray(rng.randn(8, 128).astype(np.float32))
     y = jnp.asarray(rng.randn(8, 16).astype(np.float32))
 
     def loss(p):
-        return jnp.mean((nn.dense(x, qat_view(p)["layer"]) - y) ** 2)
+        return jnp.mean(
+            (nn.dense(x, qat_view(p, min_out_chan=0)["layer"]) - y) ** 2)
 
     opt = optax.adam(1e-2)
     state = opt.init(params)
