@@ -53,6 +53,32 @@ def test_overfit_gate_runs_end_to_end(tmp_path):
     assert "drop" in doc.read_text()
 
 
+@pytest.mark.slow
+def test_overfit_gate_warm_from_runs(tmp_path):
+    # --warm-from: fine-tune from a prior run's snapshots (the QAT
+    # fine-tune path). Two tiny runs: one to produce snapshots, one warmed.
+    prior = tmp_path / "prior"
+    proc = _run_tool(
+        ["tools/overfit_check.py", "--steps", "2", "--only", "lifting",
+         "--records", "8", "--keep", str(prior)],
+        timeout=600,
+    )
+    assert (prior / "snap_lift").is_dir(), proc.stderr[-500:]
+    proc = _run_tool(
+        ["tools/overfit_check.py", "--steps", "2", "--only", "lifting",
+         "--records", "8", "--warm-from", str(prior), "--qat"],
+        timeout=600,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no JSON summary:\n{proc.stdout}\n{proc.stderr}"
+    summary = json.loads(lines[-1])
+    assert summary["warm_from"] == str(prior) and summary["qat"]
+    entry = summary["trainers"]["lifting"]
+    assert "error" not in entry, entry
+    # warm start -> ratio bar drops to the divergence backstop (0.9)
+    assert entry["min_ratio"] == 0.9
+
+
 def test_release_check_records_round(tmp_path):
     # plumbing-only: all steps skipped, so this exercises argument handling,
     # record writing and the markdown append without any heavy subprocess.

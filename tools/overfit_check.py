@@ -33,7 +33,18 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
-def _trainers(steps, data_dir, log_dir, steps_per_call, qat=False):
+def _latest_snapshot(snap_dir):
+    """Newest snapshot-*.msgpack in a prior run's snapshot dir."""
+    from hand3d_tpu.train.checkpoints import latest_snapshot
+
+    path = latest_snapshot(snap_dir)
+    if path is None:
+        raise SystemExit(f"--warm-from: no snapshot under {snap_dir}")
+    return path
+
+
+def _trainers(steps, data_dir, log_dir, steps_per_call, qat=False,
+              warm_from=None, only=None):
     # Trainer CLIs take the .bin FILE (cli/train_*.py "--data: Path to
     # rhd_training.bin" -> RHDDataset -> np.memmap), never a directory.
     train_bin = os.path.join(data_dir, "rhd_training.bin")
@@ -49,6 +60,16 @@ def _trainers(steps, data_dir, log_dir, steps_per_call, qat=False):
             "--lr", "1e-4", "1e-4", "--lr-iter", "1000000",
             *(["--qat"] if qat else []),
         ]
+
+    def warm(trainer, snap_name):
+        # fine-tune from a prior run's float snapshots (make_rhd_bin is
+        # seed-deterministic, so the prior run memorized the SAME records).
+        # Resolved only for trainers that will actually run, so --only does
+        # not demand snapshots for the others.
+        if warm_from is None or (only is not None and trainer != only):
+            return []
+        return ["--weights", _latest_snapshot(os.path.join(warm_from,
+                                                           snap_name))]
 
     def log(name):
         return os.path.join(log_dir, f"{name}.jsonl")
@@ -71,12 +92,14 @@ def _trainers(steps, data_dir, log_dir, steps_per_call, qat=False):
     return {
         "handsegnet": (
             ["-m", "hand3d_tpu.cli.train_handsegnet", *common(steps),
+             *warm("handsegnet", "snap_seg"),
              "--snapshot-dir", os.path.join(log_dir, "snap_seg"),
              "--metrics-log", log("handsegnet")],
             5.0, None,  # measured 7.5x / 7.7x at 600
         ),
         "posenet": (
             ["-m", "hand3d_tpu.cli.train_posenet", *common(5 * steps),
+             *warm("posenet", "snap_pose"),
              "--snapshot-dir", os.path.join(log_dir, "snap_pose"),
              "--eval-data", eval_bin, "--eval-freq", str(5 * steps),
              "--metrics-log", log("posenet")],
@@ -87,7 +110,7 @@ def _trainers(steps, data_dir, log_dir, steps_per_call, qat=False):
         ),
         "lifting": (
             ["-m", "hand3d_tpu.cli.train_lifting", *common(2 * steps),
-             "--variant", "proposed",
+             "--variant", "proposed", *warm("lifting", "snap_lift"),
              "--snapshot-dir", os.path.join(log_dir, "snap_lift"),
              "--metrics-log", log("lifting")],
             4.0, None,  # measured 6.3x / ~10x at 1200
@@ -151,6 +174,12 @@ def main():
                     help="Persist the work dir (synthetic data + final "
                          "snapshots) here — e.g. to feed "
                          "tools/preset_accuracy.py the overfit weights")
+    ap.add_argument("--warm-from", default=None,
+                    help="A prior run's --keep dir: warm-start handsegnet/"
+                         "posenet/lifting from its newest snapshots "
+                         "(fine-tuning; e.g. QAT fine-tune from the float "
+                         "overfit weights). Joint always warm-starts from "
+                         "THIS run's stage snapshots.")
     ap.add_argument("--qat", action="store_true",
                     help="Train all four stages under the int8 "
                          "quantization-aware view (trainer CLIs' --qat), "
@@ -173,8 +202,14 @@ def main():
                      num_records=args.records)
 
         trainers = _trainers(args.steps, data_dir, work, args.steps_per_call,
-                             qat=args.qat)
+                             qat=args.qat, warm_from=args.warm_from,
+                             only=args.only)
         for name, (argv, min_ratio, eval_bound) in trainers.items():
+            if args.warm_from is not None:
+                # fine-tuning starts CONVERGED: a big drop ratio is
+                # impossible, so the ratio becomes the divergence backstop
+                # and the judgement rests on the eval bounds (posenet/joint)
+                min_ratio = min(min_ratio, 0.9)
             if args.only and name != args.only:
                 continue
             t0 = time.time()
@@ -233,7 +268,8 @@ def main():
 
     gate_ok = all(r["ok"] for r in results.values())
     summary = {"gate": "overfit_check", "ok": gate_ok, "steps": args.steps,
-               "records": args.records, "qat": args.qat, "trainers": results}
+               "records": args.records, "qat": args.qat,
+               "warm_from": args.warm_from, "trainers": results}
     print(json.dumps(summary), flush=True)
 
     if args.write_doc:
@@ -258,7 +294,8 @@ def _markdown(summary):
         "",
         f"## Synthetic-overfit run ({summary['records']} records, "
         f"{summary['steps']} steps, batch 8"
-        f"{', QAT int8 view' if summary.get('qat') else ''}) "
+        f"{', QAT int8 view' if summary.get('qat') else ''}"
+        f"{', warm-started' if summary.get('warm_from') else ''}) "
         f"— commit {_git_rev()}",
         "",
         "| Trainer | loss first → last | drop | memorization eval | wall |",
