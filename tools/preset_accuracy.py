@@ -111,6 +111,8 @@ def _run(net, params, batches, hand_side):
         "uv21": np.concatenate([np.asarray(o.keypoint_uv21) for o in outs]),
         "coord3d": np.concatenate(
             [np.asarray(o.keypoint_coord3d) for o in outs]),
+        "scoremap": np.concatenate(
+            [np.asarray(o.keypoints_scoremap, np.float32) for o in outs]),
     }
 
 
@@ -129,11 +131,20 @@ def _deltas(base, var):
     # coord3d is canonically normalized (unit middle-MCP bone), so absolute
     # differences are already relative to hand size
     c3d = np.linalg.norm(var["coord3d"] - base["coord3d"], axis=-1)
+    # Scoremap-space drift, per image: ||dS|| / ||S|| over the [256,256,21]
+    # map. The uv EPE's heavy tail comes from near-tie argmax flips (a tiny
+    # perturbation of a two-peak scoremap moves the argmax tens of px);
+    # this metric is immune to ties and measures the perturbation itself.
+    num = np.linalg.norm(
+        (var["scoremap"] - base["scoremap"]).reshape(len(uv_epe), -1), axis=1)
+    den = np.maximum(np.linalg.norm(
+        base["scoremap"].reshape(len(uv_epe), -1), axis=1), 1e-12)
     return {
         "crop_center_px": _stats(center_px),
         "crop_scale_rel": _stats(scale_rel),
         "uv21_epe_px": _stats(uv_epe),
         "coord3d_drift": _stats(c3d),
+        "scoremap_rel_l2": _stats(num / den),
     }
 
 
@@ -218,16 +229,19 @@ def _markdown(summary):
         "coord3d is in canonical units (middle-MCP bone = 1).",
         "",
         "| Preset | crop center px (p95/max) | crop scale rel (p95) "
-        "| uv21 EPE px (mean/p95/max) | coord3d drift (mean/p95) |",
-        "|---|---|---|---|---|",
+        "| uv21 EPE px (mean/p95/max) | coord3d drift (mean/p95) "
+        "| scoremap rel-l2 (p50/p95) |",
+        "|---|---|---|---|---|---|",
     ]
     for name, r in summary["presets"].items():
         c, s, u, d = (r["crop_center_px"], r["crop_scale_rel"],
                       r["uv21_epe_px"], r["coord3d_drift"])
+        sm = r.get("scoremap_rel_l2")
+        sm_cell = f"{sm['p50']:.4f} / {sm['p95']:.4f}" if sm else "—"
         lines.append(
             f"| {name} | {c['p95']:.2f} / {c['max']:.2f} | {s['p95']:.4f} "
             f"| {u['mean']:.2f} / {u['p95']:.2f} / {u['max']:.2f} "
-            f"| {d['mean']:.4f} / {d['p95']:.4f} |"
+            f"| {d['mean']:.4f} / {d['p95']:.4f} | {sm_cell} |"
         )
     lines += [""]
     return "\n".join(lines)
