@@ -15,10 +15,19 @@ plus an appended section in ``docs/RESULTS.md``, both stamped with the commit
 they measured. The JSON is the round's machine-checkable record; a step that
 fails is recorded as failed, never silently dropped.
 
+The record is written incrementally after every step (atomic rename), so a
+wall-clock kill mid-ladder still leaves the completed steps on disk. With
+``--merge``, an existing RESULTS_r{N}.json is folded in instead of being
+overwritten — this lets the CPU-only steps (multihost, multichip) run in a
+separate concurrent invocation while the chip ladder holds the TPU.
+
 Usage:
   python tools/release_check.py --round 3                # everything
   python tools/release_check.py --round 3 --skip overfit # compose
   python tools/release_check.py --round 3 --steps chip_smoke bench
+  # concurrent split (chip + CPU):
+  python tools/release_check.py --round 3 --merge --steps chip_smoke bench overfit preset &
+  python tools/release_check.py --round 3 --merge --steps multihost multichip &
 """
 
 import argparse
@@ -88,10 +97,52 @@ def _steps(args, work):
     }
 
 
+def _load_record(path):
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        return rec if isinstance(rec.get("steps"), dict) else None
+    except Exception:
+        return None
+
+
+def _write_record(args, results, out):
+    """Merge + atomically write the round record; returns it."""
+    steps = dict(results)
+    if args.merge:
+        existing = _load_record(out)
+        if existing:
+            # adopt real results (from a prior or concurrent invocation) for
+            # any step this invocation did not run itself
+            for name, entry in existing["steps"].items():
+                mine = steps.get(name)
+                if entry.get("ok") is not None and (
+                        mine is None or mine.get("skipped")):
+                    steps[name] = entry
+    ran = {k: v for k, v in steps.items() if not v.get("skipped")}
+    record = {
+        "round": args.round,
+        "commit": _git_rev(),
+        "utc": time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
+        "ok": all(v["ok"] for v in ran.values()) and bool(ran),
+        "steps": steps,
+    }
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(record, f, indent=1)
+        f.write("\n")
+    os.replace(tmp, out)
+    return record
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--skip", nargs="*", default=[])
+    ap.add_argument("--merge", action="store_true",
+                    help="fold results into an existing RESULTS_r{N}.json "
+                         "instead of overwriting it (enables concurrent "
+                         "chip/CPU invocations)")
     ap.add_argument("--steps", nargs="*", default=None,
                     help="run only these steps (default: all)")
     ap.add_argument("--overfit-steps", type=int, default=600)
@@ -113,10 +164,10 @@ def main():
     if unknown:
         ap.error(f"unknown step(s): {unknown}; available: {list(table)}")
 
-    results = {}
+    out = os.path.join(args.out_dir, f"RESULTS_r{args.round:02d}.json")
+    results = {name: {"ok": None, "skipped": True} for name in table}
     for name in table:
         if name not in selected or name in args.skip:
-            results[name] = {"ok": None, "skipped": True}
             _log(f"{name}: SKIPPED")
             continue
         argv, timeout, env_over = table[name]
@@ -140,25 +191,18 @@ def main():
             entry = {"ok": False, "seconds": round(time.time() - t0, 1),
                      "error": f"TIMEOUT after {timeout}s"}
         results[name] = entry
+        # checkpoint the record after every step so a mid-ladder kill still
+        # leaves the completed steps on disk
+        _write_record(args, results, out)
         _log(f"{name}: {'PASS' if entry['ok'] else 'FAIL'} "
              f"({entry['seconds']}s)")
 
-    ran = {k: v for k, v in results.items() if not v.get("skipped")}
-    record = {
-        "round": args.round,
-        "commit": _git_rev(),
-        "utc": time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
-        "ok": all(v["ok"] for v in ran.values()) and bool(ran),
-        "steps": results,
-    }
-    out = os.path.join(args.out_dir, f"RESULTS_r{args.round:02d}.json")
-    with open(out, "w") as f:
-        json.dump(record, f, indent=1)
-        f.write("\n")
-    _append_doc(record, args.out_dir)
+    record = _write_record(args, results, out)
+    _write_doc(record, args.out_dir)
     print(json.dumps({"gate": "release_check", "ok": record["ok"],
                       "out": out,
-                      "steps": {k: v.get("ok") for k, v in results.items()}}),
+                      "steps": {k: v.get("ok")
+                                for k, v in record["steps"].items()}}),
           flush=True)
     raise SystemExit(0 if record["ok"] else 1)
 
@@ -188,30 +232,41 @@ def _one_line(name, entry):
     return f"| {name} | {flag} | {entry.get('seconds', '')}s | {detail} |"
 
 
-def _append_doc(record, out_dir):
+def _write_doc(record, out_dir):
+    """Regenerate this round's section in docs/RESULTS.md (idempotent)."""
     docs = os.path.join(out_dir, "docs")
     os.makedirs(docs, exist_ok=True)
     path = os.path.join(docs, "RESULTS.md")
     header = (
         "# Round-gate records\n\n"
-        "Appended by tools/release_check.py; the machine-readable record is "
+        "Written by tools/release_check.py; the machine-readable record is "
         "RESULTS_r{N}.json at the repo root.\n"
     )
-    lines = [
+    marker = f"## Round {record['round']} —"
+    section = "\n".join([
         "",
         f"## Round {record['round']} — commit {record['commit']} "
         f"({record['utc']} UTC) — {'GREEN' if record['ok'] else 'RED'}",
         "",
         "| Step | Status | Wall | Detail |",
         "|---|---|---|---|",
-    ]
-    lines += [_one_line(k, v) for k, v in record["steps"].items()]
-    lines.append("")
-    exists = os.path.exists(path)
-    with open(path, "a") as f:
-        if not exists:
-            f.write(header)
-        f.write("\n".join(lines))
+        *[_one_line(k, v) for k, v in record["steps"].items()],
+        "",
+    ])
+    text = header
+    if os.path.exists(path):
+        with open(path) as f:
+            text = f.read()
+        start = text.find(marker)
+        if start != -1:
+            # replace the existing section for this round (up to next round
+            # header or EOF) so concurrent/merged invocations don't duplicate
+            nxt = text.find("\n## Round ", start)
+            pre = text[:start].rstrip("\n")
+            post = text[nxt:] if nxt != -1 else ""
+            text = pre + post
+    with open(path, "w") as f:
+        f.write(text.rstrip("\n") + "\n" + section)
 
 
 if __name__ == "__main__":
