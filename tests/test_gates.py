@@ -97,6 +97,46 @@ def test_release_check_records_round(tmp_path):
     assert "Round 97" in (tmp_path / "docs" / "RESULTS.md").read_text()
 
 
+def test_release_check_merge_adopts_prior_steps(tmp_path):
+    # --merge folds an existing record in: steps recorded by a prior (or
+    # concurrent) invocation survive, and the top-level ok is computed over
+    # the union. This is the mechanism that lets the chip ladder and the
+    # CPU steps run as two concurrent invocations.
+    out = tmp_path / "RESULTS_r97.json"
+    out.write_text(json.dumps({
+        "round": 97, "commit": "prior", "utc": "", "ok": True,
+        "steps": {"multihost": {"ok": True, "seconds": 3.0},
+                  "multichip": {"ok": True, "seconds": 4.0}},
+    }))
+    proc = _run_tool(
+        ["tools/release_check.py", "--round", "97", "--merge",
+         "--out-dir", str(tmp_path),
+         "--skip", "chip_smoke", "bench", "overfit", "preset",
+         "multihost", "multichip"],
+        timeout=120,
+    )
+    record = json.loads(out.read_text())
+    # adopted results kept verbatim; unrun steps stay skipped placeholders
+    assert record["steps"]["multihost"] == {"ok": True, "seconds": 3.0}
+    assert record["steps"]["multichip"]["ok"] is True
+    assert record["steps"]["bench"]["skipped"]
+    # two real PASSes adopted -> the merged record is green
+    assert record["ok"] is True and proc.returncode == 0
+    # the round section is regenerated, not duplicated
+    doc = (tmp_path / "docs" / "RESULTS.md").read_text()
+    assert doc.count("## Round 97") == 1
+    # re-running must stay idempotent in the doc
+    _run_tool(
+        ["tools/release_check.py", "--round", "97", "--merge",
+         "--out-dir", str(tmp_path),
+         "--skip", "chip_smoke", "bench", "overfit", "preset",
+         "multihost", "multichip"],
+        timeout=120,
+    )
+    doc = (tmp_path / "docs" / "RESULTS.md").read_text()
+    assert doc.count("## Round 97") == 1
+
+
 @pytest.mark.slow
 def test_preset_accuracy_runs_end_to_end(tmp_path):
     doc = tmp_path / "PRESETS.md"
