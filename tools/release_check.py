@@ -187,9 +187,15 @@ def main():
             if not ok:
                 entry["stderr_tail"] = (proc.stderr or "")[-1500:]
                 entry["stdout_tail"] = (proc.stdout or "")[-800:]
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
             entry = {"ok": False, "seconds": round(time.time() - t0, 1),
                      "error": f"TIMEOUT after {timeout}s"}
+            for stream in ("stdout", "stderr"):
+                data = getattr(e, stream, None)
+                if data:
+                    if isinstance(data, bytes):
+                        data = data.decode("utf-8", "replace")
+                    entry[f"{stream}_tail"] = data[-1500:]
         results[name] = entry
         # checkpoint the record after every step so a mid-ladder kill still
         # leaves the completed steps on disk
