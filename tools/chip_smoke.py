@@ -246,23 +246,37 @@ PHASES = [
 ]
 
 
+def _run_phase(name, timeout):
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", name],
+            capture_output=True, text=True, timeout=timeout, cwd=REPO,
+        )
+        ok = proc.returncode == 0
+        return ok, ("" if ok else (proc.stderr or proc.stdout)[-500:]), False
+    except subprocess.TimeoutExpired:
+        return False, f"TIMEOUT after {timeout}s (wedged compile?)", True
+
+
 def main():
     results = {}
     t_start = time.time()
     for name, _, required, timeout in PHASES:
         t0 = time.time()
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--phase", name],
-                capture_output=True, text=True, timeout=timeout, cwd=REPO,
-            )
-            ok = proc.returncode == 0
-            tail = "" if ok else (proc.stderr or proc.stdout)[-500:]
-        except subprocess.TimeoutExpired:
-            ok, tail = False, f"TIMEOUT after {timeout}s (wedged compile?)"
+        ok, tail, timed_out = _run_phase(name, timeout)
+        retried = False
+        if timed_out and required:
+            # the axon tunnel occasionally wedges one client process forever
+            # at near-zero CPU (see .claude/skills/verify/SKILL.md); the
+            # documented cure is kill-and-retry-once in a fresh process —
+            # a real compiler wedge will time out identically both times
+            print(f"{name:<12} timed out; retrying once (tunnel wedge "
+                  "playbook)", flush=True)
+            retried = True
+            ok, tail, timed_out = _run_phase(name, timeout)
         dt = time.time() - t0
         results[name] = {"ok": ok, "seconds": round(dt, 1),
-                         "required": required}
+                         "required": required, "retried": retried}
         flag = "PASS" if ok else ("FAIL" if required else "fail (informational)")
         print(f"{name:<12} {flag:<22} {dt:6.1f}s", flush=True)
         if tail and not ok:

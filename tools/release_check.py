@@ -74,7 +74,11 @@ def _steps(args, work):
     cpu_env = {"JAX_PLATFORMS": "cpu",
                "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
     return {
-        "chip_smoke": ([py, "tools/chip_smoke.py"], 1800, {}),
+        # chip_smoke's own per-phase budgets sum to 4080s worst case (7
+        # phases, tunnel-compile-bound on a slow day); the step budget must
+        # cover that or a slow tunnel turns per-phase diagnostics into one
+        # opaque step TIMEOUT (round-3 morning run died exactly this way)
+        "chip_smoke": ([py, "tools/chip_smoke.py"], 4200, {}),
         "bench": ([py, "bench.py"], 1500, {}),
         "overfit": (
             [py, "tools/overfit_check.py", "--steps", str(args.overfit_steps),
