@@ -7,8 +7,9 @@ Prints ONE JSON line:
 Baseline normalization: the reference publishes no throughput numbers
 (SURVEY.md §6); BASELINE.json's north star is ">= 10x the TF1-CPU fps" for
 the full pipeline. We take 2.0 fps as a generous estimate of the TF1-CPU
-single-image rate for this ~45 GFLOP/frame cascade, so vs_baseline = 1.0 at
-the 10x target (20 fps) and scales linearly beyond it.
+single-image rate for this 121.8 GFLOP/frame cascade (measured layer walk,
+tools/roofline.py), so vs_baseline = 1.0 at the 10x target (20 fps) and
+scales linearly beyond it.
 
 The benchmarked program is the complete pipeline of run.py/eval_full.py —
 HandSegNet on a 240x320 frame, blob extraction + bbox + 256x256 crop,

@@ -126,13 +126,19 @@ def add_memory_args(p):
 
 
 def _metrics_logger(args):
-    """MetricsLogger for --metrics-log, or None (echo stays on the prints)."""
+    """MetricsLogger for --metrics-log, or None (echo stays on the prints).
+
+    Fresh runs truncate an existing log (a re-run's curve must not be
+    judged against a stale first line); --resume appends so the curve is
+    contiguous across the restart.
+    """
     path = getattr(args, "metrics_log", None)
     if not path:
         return None
     from hand3d_tpu.utils.logging import MetricsLogger
 
-    return MetricsLogger(path, echo=False)
+    return MetricsLogger(path, echo=False,
+                         fresh=not getattr(args, "resume", False))
 
 
 def add_qat_arg(parser):

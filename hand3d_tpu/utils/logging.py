@@ -13,13 +13,22 @@ class MetricsLogger:
     Usage: logger.log(step=100, loss=0.12, lr=1e-4)
     """
 
-    def __init__(self, path=None, echo=True):
+    def __init__(self, path=None, echo=True, fresh=False):
+        """``fresh=True`` truncates an existing log instead of appending.
+
+        A fresh (non-resumed) training run must not append to a prior run's
+        log: downstream curve parsers (tools/overfit_check._read_curve) take
+        loss_first from line 1 and would judge a re-run against a stale
+        first-loss (round-3 verdict, weak #2 — RESULTS_r03.json carried a
+        duplicated curve). Resumed runs pass fresh=False to keep the curve
+        contiguous across the restart.
+        """
         self.path = path
         self.echo = echo
         self._f = None
         if path:
             os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-            self._f = open(path, "a")
+            self._f = open(path, "w" if fresh else "a")
 
     def log(self, **kwargs):
         record = {"ts": time.time(), **{

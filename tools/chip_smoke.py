@@ -232,18 +232,25 @@ def phase_scan_pallas():
     print("scan_pallas ok (wedge path compiles today)")
 
 
-# Timeouts are sized for a COLD compile cache on a busy 1-core host (the
-# axon tunnel compiles are slow and host-CPU-sensitive); warm-cache reruns
-# finish each phase in well under a minute.
+# Per-phase timeouts are sized for a COLD compile cache on a busy 1-core
+# host (the axon tunnel compiles are slow and host-CPU-sensitive): the
+# round-3 judge's run measured fwd_fp32 / train_step cold compiles that
+# BLEW a 600s budget and passed on retry at ~520-575s, so 600s was below
+# the real cold-compile cost on this host. 1500s covers measured-cold with
+# 2.5x slack; warm-cache reruns finish each phase in well under a minute.
 PHASES = [
-    ("pallas_parity", phase_pallas_parity, True, 600),
-    ("fwd_fp32", phase_fwd_fp32, True, 600),
-    ("fwd_bf16", phase_fwd_bf16, True, 600),
-    ("train_step", phase_train_step, True, 600),
-    ("harness", phase_harness, True, 600),
-    ("bench_shape", phase_bench_shape, True, 600),
+    ("pallas_parity", phase_pallas_parity, True, 1500),
+    ("fwd_fp32", phase_fwd_fp32, True, 1500),
+    ("fwd_bf16", phase_fwd_bf16, True, 1500),
+    ("train_step", phase_train_step, True, 1500),
+    ("harness", phase_harness, True, 1500),
+    ("bench_shape", phase_bench_shape, True, 1500),
     ("scan_pallas", phase_scan_pallas, False, 480),
 ]
+
+# A retry (or a fresh attempt) is pointless with less than this much wall
+# budget left — cold compiles on this host take several minutes.
+_MIN_ATTEMPT = 180
 
 
 def _run_phase(name, timeout):
@@ -258,14 +265,31 @@ def _run_phase(name, timeout):
         return False, f"TIMEOUT after {timeout}s (wedged compile?)", True
 
 
-def main():
+def main(budget):
+    """Run all phases inside a total wall ``budget`` (seconds).
+
+    The gate self-bounds: attempt timeouts are clamped to the remaining
+    budget and retries are skipped when the remainder can't cover one, so
+    the caller (tools/release_check.py) never has to kill this process —
+    a kill would discard per-phase evidence (the round-3 failure mode:
+    one opaque step TIMEOUT with no phase detail). Each phase also emits
+    one machine-readable JSON progress line as it completes, so even a
+    hard external kill leaves per-phase evidence in captured stdout.
+    """
     results = {}
     t_start = time.time()
+    remaining = lambda: budget - (time.time() - t_start)  # noqa: E731
     for name, _, required, timeout in PHASES:
         t0 = time.time()
-        ok, tail, timed_out = _run_phase(name, timeout)
+        if remaining() < _MIN_ATTEMPT:
+            results[name] = {"ok": False if required else None,
+                             "required": required, "seconds": 0.0,
+                             "error": "not run: wall budget exhausted"}
+            print(json.dumps({"phase": name, **results[name]}), flush=True)
+            continue
+        ok, tail, timed_out = _run_phase(name, min(timeout, int(remaining())))
         retried = False
-        if timed_out and required:
+        if timed_out and required and remaining() >= _MIN_ATTEMPT:
             # the axon tunnel occasionally wedges one client process forever
             # at near-zero CPU (see .claude/skills/verify/SKILL.md); the
             # documented cure is kill-and-retry-once in a fresh process —
@@ -273,24 +297,40 @@ def main():
             print(f"{name:<12} timed out; retrying once (tunnel wedge "
                   "playbook)", flush=True)
             retried = True
-            ok, tail, timed_out = _run_phase(name, timeout)
+            ok, tail, timed_out = _run_phase(
+                name, min(timeout, int(remaining())))
         dt = time.time() - t0
         results[name] = {"ok": ok, "seconds": round(dt, 1),
                          "required": required, "retried": retried}
+        if tail and not ok:
+            results[name]["tail"] = tail[-500:]
         flag = "PASS" if ok else ("FAIL" if required else "fail (informational)")
         print(f"{name:<12} {flag:<22} {dt:6.1f}s", flush=True)
         if tail and not ok:
             print("    " + tail.replace("\n", "\n    ")[-600:], flush=True)
+        # one JSON line per completed phase: a caller-side kill still leaves
+        # machine-parseable per-phase evidence in the captured stdout
+        print(json.dumps({"phase": name, **results[name]}), flush=True)
     total = time.time() - t_start
     gate_ok = all(r["ok"] for n, r in results.items() if r["required"])
     print(json.dumps({"gate": "chip_smoke", "ok": gate_ok,
                       "total_seconds": round(total, 1),
+                      "budget": budget,
                       "phases": results}), flush=True)
     raise SystemExit(0 if gate_ok else 1)
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 2 and sys.argv[1] == "--phase":
-        dict((n, f) for n, f, _, _ in PHASES)[sys.argv[2]]()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", default=None,
+                    help="run one phase in-process (internal)")
+    ap.add_argument("--budget", type=int, default=9000,
+                    help="total wall budget (s); attempts are clamped to "
+                         "the remainder so the gate never overruns it")
+    cli = ap.parse_args()
+    if cli.phase:
+        dict((n, f) for n, f, _, _ in PHASES)[cli.phase]()
     else:
-        main()
+        main(cli.budget)

@@ -212,6 +212,15 @@ def main():
                 min_ratio = min(min_ratio, 0.9)
             if args.only and name != args.only:
                 continue
+            # a reused --keep dir must not concatenate curves across runs:
+            # _read_curve takes loss_first from line 1, so a stale log would
+            # judge this run against a prior run's first loss (round-3
+            # verdict, weak #2). The trainer CLIs also truncate fresh logs
+            # themselves (MetricsLogger fresh=True); this is belt-and-braces
+            # for trainer versions that crash before opening the log.
+            stale_log = os.path.join(work, f"{name}.jsonl")
+            if os.path.exists(stale_log):
+                os.unlink(stale_log)
             t0 = time.time()
             try:
                 proc = subprocess.run(

@@ -31,6 +31,8 @@ Usage:
 """
 
 import argparse
+import contextlib
+import fcntl
 import json
 import os
 import subprocess
@@ -74,11 +76,13 @@ def _steps(args, work):
     cpu_env = {"JAX_PLATFORMS": "cpu",
                "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
     return {
-        # chip_smoke's own per-phase budgets sum to 4080s worst case (7
-        # phases, tunnel-compile-bound on a slow day); the step budget must
-        # cover that or a slow tunnel turns per-phase diagnostics into one
-        # opaque step TIMEOUT (round-3 morning run died exactly this way)
-        "chip_smoke": ([py, "tools/chip_smoke.py"], 4200, {}),
+        # chip_smoke self-bounds to --budget (it clamps attempt timeouts to
+        # the remainder and skips retries it can't afford), so the step
+        # timeout only needs headroom for interpreter startup + the final
+        # JSON — an external kill here would discard per-phase evidence
+        # (the round-3 failure mode: one opaque step TIMEOUT, no detail)
+        "chip_smoke": ([py, "tools/chip_smoke.py", "--budget", "9000"],
+                       9300, {}),
         "bench": ([py, "bench.py"], 1500, {}),
         "overfit": (
             [py, "tools/overfit_check.py", "--steps", str(args.overfit_steps),
@@ -110,32 +114,65 @@ def _load_record(path):
         return None
 
 
+@contextlib.contextmanager
+def _record_lock(out):
+    """Exclusive advisory lock serializing concurrent --merge checkpoints.
+
+    Two concurrent invocations (the documented chip/CPU split) both do a
+    read-merge-write of RESULTS_r{N}.json; without the lock, checkpoints
+    that race drop one invocation's steps from the record (round-3
+    advisor, medium).
+    """
+    lock_path = out + ".lock"
+    with open(lock_path, "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
+
+
 def _write_record(args, results, out):
-    """Merge + atomically write the round record; returns it."""
-    steps = dict(results)
-    if args.merge:
-        existing = _load_record(out)
-        if existing:
-            # adopt real results (from a prior or concurrent invocation) for
-            # any step this invocation did not run itself
-            for name, entry in existing["steps"].items():
-                mine = steps.get(name)
-                if entry.get("ok") is not None and (
-                        mine is None or mine.get("skipped")):
-                    steps[name] = entry
-    ran = {k: v for k, v in steps.items() if not v.get("skipped")}
-    record = {
-        "round": args.round,
-        "commit": _git_rev(),
-        "utc": time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
-        "ok": all(v["ok"] for v in ran.values()) and bool(ran),
-        "steps": steps,
-    }
-    tmp = out + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(record, f, indent=1)
-        f.write("\n")
-    os.replace(tmp, out)
+    """Merge + atomically write the round record; returns it.
+
+    GREEN means the FULL ladder passed: ``ok`` is true only when every step
+    in the table has a real (non-placeholder) passing result. A record with
+    unrun steps carries ``partial: true`` and ``ok: false`` so a subset
+    invocation can never stamp the round green (round-3 advisor, medium).
+    Each step entry is stamped with the commit/utc it actually ran at; the
+    top level summarizes the set so mixed-commit records are visible.
+    """
+    with _record_lock(out):
+        steps = dict(results)
+        if args.merge:
+            existing = _load_record(out)
+            if existing:
+                # adopt real results (from a prior or concurrent invocation)
+                # for any step this invocation did not run itself
+                for name, entry in existing["steps"].items():
+                    mine = steps.get(name)
+                    if entry.get("ok") is not None and (
+                            mine is None or mine.get("skipped")):
+                        steps[name] = entry
+        ran = {k: v for k, v in steps.items() if not v.get("skipped")}
+        partial = len(ran) < len(steps)
+        commits = sorted({v["commit"] for v in ran.values() if "commit" in v})
+        record = {
+            "round": args.round,
+            "commit": _git_rev(),
+            "utc": time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
+            "ok": bool(ran) and not partial
+                  and all(v["ok"] for v in ran.values()),
+            "partial": partial,
+            "step_commits": commits,
+            "mixed_commits": len(commits) > 1,
+            "steps": steps,
+        }
+        tmp = out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(record, f, indent=1)
+            f.write("\n")
+        os.replace(tmp, out)
     return record
 
 
@@ -170,6 +207,7 @@ def main():
 
     out = os.path.join(args.out_dir, f"RESULTS_r{args.round:02d}.json")
     results = {name: {"ok": None, "skipped": True} for name in table}
+    ran_here = {}
     for name in table:
         if name not in selected or name in args.skip:
             _log(f"{name}: SKIPPED")
@@ -177,6 +215,8 @@ def main():
         argv, timeout, env_over = table[name]
         _log(f"{name}: {' '.join(argv)} (timeout {timeout}s)")
         t0 = time.time()
+        stamp = {"commit": _git_rev(),
+                 "utc": time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())}
         try:
             proc = subprocess.run(
                 argv, capture_output=True, text=True, timeout=timeout,
@@ -184,43 +224,75 @@ def main():
             )
             ok = proc.returncode == 0
             entry = {"ok": ok, "seconds": round(time.time() - t0, 1),
-                     "returncode": proc.returncode}
+                     "returncode": proc.returncode, **stamp}
             summary = _last_json_line(proc.stdout)
             if summary is not None:
                 entry["summary"] = summary
             if not ok:
                 entry["stderr_tail"] = (proc.stderr or "")[-1500:]
                 entry["stdout_tail"] = (proc.stdout or "")[-800:]
+                phases = _phase_lines(proc.stdout)
+                if phases:
+                    entry["phases"] = phases
         except subprocess.TimeoutExpired as e:
             entry = {"ok": False, "seconds": round(time.time() - t0, 1),
-                     "error": f"TIMEOUT after {timeout}s"}
+                     "error": f"TIMEOUT after {timeout}s", **stamp}
             for stream in ("stdout", "stderr"):
                 data = getattr(e, stream, None)
                 if data:
                     if isinstance(data, bytes):
                         data = data.decode("utf-8", "replace")
                     entry[f"{stream}_tail"] = data[-1500:]
+            # chip_smoke emits one JSON line per completed phase; recover
+            # them so even a killed step leaves per-phase evidence (the
+            # round-3 record had NO phase detail for its chip_smoke TIMEOUT)
+            phases = _phase_lines(entry.get("stdout_tail", ""))
+            if phases:
+                entry["phases"] = phases
         results[name] = entry
-        # checkpoint the record after every step so a mid-ladder kill still
-        # leaves the completed steps on disk
-        _write_record(args, results, out)
+        ran_here[name] = entry["ok"]
+        # checkpoint the record (and its doc rendering — they must never
+        # diverge, round-3 advisor high) after every step so a mid-ladder
+        # kill still leaves the completed steps on disk
+        record = _write_record(args, results, out)
+        _write_doc(record, args.out_dir)
         _log(f"{name}: {'PASS' if entry['ok'] else 'FAIL'} "
              f"({entry['seconds']}s)")
 
     record = _write_record(args, results, out)
     _write_doc(record, args.out_dir)
     print(json.dumps({"gate": "release_check", "ok": record["ok"],
-                      "out": out,
+                      "partial": record["partial"],
+                      "ran_here": ran_here, "out": out,
                       "steps": {k: v.get("ok")
                                 for k, v in record["steps"].items()}}),
           flush=True)
-    raise SystemExit(0 if record["ok"] else 1)
+    # exit status answers "did THIS invocation verify its steps": 0 iff it
+    # ran at least one step and all of them passed. Round green-ness is the
+    # record's ok field, which requires the FULL ladder (see _write_record).
+    raise SystemExit(0 if ran_here and all(ran_here.values()) else 1)
+
+
+def _phase_lines(text):
+    """Collect chip_smoke's per-phase JSON progress lines from stdout."""
+    phases = {}
+    for line in (text or "").splitlines():
+        if line.startswith("{"):
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "phase" in rec:
+                phases[rec.pop("phase")] = rec
+    return phases
 
 
 def _one_line(name, entry):
     if entry.get("skipped"):
-        return f"| {name} | SKIPPED | | |"
+        return f"| {name} | not run | | |"
     flag = "PASS" if entry["ok"] else "FAIL"
+    if entry.get("commit"):
+        flag += f" @{entry['commit']}"
     s = entry.get("summary") or {}
     if name == "bench" and "value" in s:
         detail = f"{s['value']} {s.get('unit', '')} (batch {s.get('batch')})"
@@ -253,10 +325,22 @@ def _write_doc(record, out_dir):
         "RESULTS_r{N}.json at the repo root.\n"
     )
     marker = f"## Round {record['round']} —"
+    ran = [v for v in record["steps"].values() if not v.get("skipped")]
+    if record["ok"]:
+        verdict = "GREEN"
+    elif record.get("partial") and all(v["ok"] for v in ran):
+        # no failures yet, but unrun steps remain: never stamp GREEN from a
+        # subset (round-3 advisor high — doc said GREEN while JSON said RED)
+        verdict = "PARTIAL (steps still unrun)"
+    else:
+        verdict = "RED"
+    commit_note = (f"step commits {'/'.join(record['step_commits'])}"
+                   if record.get("mixed_commits")
+                   else f"commit {record['commit']}")
     section = "\n".join([
         "",
-        f"## Round {record['round']} — commit {record['commit']} "
-        f"({record['utc']} UTC) — {'GREEN' if record['ok'] else 'RED'}",
+        f"## Round {record['round']} — {commit_note} "
+        f"({record['utc']} UTC) — {verdict}",
         "",
         "| Step | Status | Wall | Detail |",
         "|---|---|---|---|",
