@@ -125,14 +125,15 @@ def _make_runners(net, method, chain):
 
 def bench_cascade(batch=32, chain=16, trials=3, compute_dtype=None,
                   seg_scale=1.0, quantize=None, phase_pack=False,
-                  method="pychain"):
+                  method="pychain", quantize_scope=None):
     import jax
     import jax.numpy as jnp
 
     from hand3d_tpu.models.cascade import ColorHandPose3D
 
     _log(f"building net: batch={batch} chain={chain} dtype={compute_dtype} "
-         f"seg_scale={seg_scale} quant={quantize} phase_pack={phase_pack} "
+         f"seg_scale={seg_scale} quant={quantize} "
+         f"quant_scope={quantize_scope} phase_pack={phase_pack} "
          f"method={method} floodfill={os.environ.get('HAND3D_FLOODFILL', 'auto')} "
          f"pallas={os.environ.get('HAND3D_PALLAS', '1')}")
     net = ColorHandPose3D(compute_dtype=compute_dtype, seg_scale=seg_scale)
@@ -141,7 +142,9 @@ def bench_cascade(batch=32, chain=16, trials=3, compute_dtype=None,
         from hand3d_tpu.ops.quant import quantize_params_int8
 
         min_ch = int(os.environ.get("HAND3D_BENCH_QUANT_MINCH", "128"))
-        params = quantize_params_int8(params, min_in_chan=min_ch)
+        params = quantize_params_int8(
+            params, min_in_chan=min_ch,
+            scopes=set(quantize_scope) if quantize_scope else None)
     if phase_pack:
         from hand3d_tpu.ops.phasepack import phase_pack_params
 
@@ -217,11 +220,16 @@ def _child(batch):
     # HAND3D_BENCH_PHASEPACK=1 packs the 64-channel conv1 blocks (same MACs,
     # full MXU lanes; float-reassociation-level numeric delta only).
     phase_pack = os.environ.get("HAND3D_BENCH_PHASEPACK", "0") == "1"
+    # HAND3D_BENCH_QUANT_SCOPE=handsegnet (comma-separated stages)
+    # restricts int8 to those scopes — the drift-free scoped preset.
+    scope_env = os.environ.get("HAND3D_BENCH_QUANT_SCOPE", "")
+    quantize_scope = [s for s in scope_env.split(",") if s] or None
     method = os.environ.get("HAND3D_BENCH_METHOD", "pychain")
     chain = int(os.environ.get("HAND3D_BENCH_CHAIN", "16"))
     _emit(bench_cascade(batch=batch, chain=chain, compute_dtype=dtype,
                         seg_scale=seg_scale, quantize=quantize,
-                        phase_pack=phase_pack, method=method), batch)
+                        phase_pack=phase_pack, method=method,
+                        quantize_scope=quantize_scope), batch)
 
 
 # Each attempt differs in at least one compile-path dimension (floodfill

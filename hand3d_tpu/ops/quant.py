@@ -81,10 +81,35 @@ def _eligible(w, min_in_chan, min_out_chan):
     return in_chan >= min_in_chan and w.shape[-1] >= min_out_chan
 
 
+def resolve_scopes(params, scopes):
+    """Map case-insensitive stage names to the tree's top-level scope keys.
+
+    ``{"handsegnet"}`` -> ``{"HandSegNet"}`` etc. Raises on names that match
+    no scope — a silently-ignored typo would quietly serve the full-float
+    model while claiming a quantized preset.
+    """
+    by_lower = {k.lower(): k for k in params}
+    out = set()
+    for s in scopes:
+        k = by_lower.get(str(s).lower())
+        if k is None:
+            raise ValueError(
+                f"unknown quantize scope {s!r}; available: {sorted(params)}")
+        out.add(k)
+    return out
+
+
 def quantize_params_int8(params, min_in_chan=128, min_out_chan=32,
-                         skip_substrings=("upconv", "deconv")):
+                         skip_substrings=("upconv", "deconv"), scopes=None):
     """Rewrite {"weights", "biases"} layer dicts in a param pytree into the
     int8 layout ({"weights_q", "weight_scale", "biases"}). Idempotent.
+
+    ``scopes``: optional set of top-level stage names (case-insensitive,
+    e.g. {"handsegnet"}) — only those subtrees are quantized, the rest stay
+    float. The measured ablation (docs/DESIGN.md) localizes ALL int8
+    activation drift to PoseNet2D; HandSegNet-only int8 carries ~half the
+    cascade FLOPs (61.3 of 121.8 GFLOP/frame) at zero measured uv drift,
+    so it is the drift-free half of the int8 speedup.
 
     ``min_in_chan``: layers with fewer input channels stay float. The early
     VGG blocks (3->64->128 channels at full resolution) are
@@ -105,6 +130,14 @@ def quantize_params_int8(params, min_in_chan=128, min_out_chan=32,
     wrong axes), and nn.conv2d_transpose dequantizes before computing
     anyway — quantizing them adds rounding noise for zero speed win.
     """
+    if scopes is not None:
+        keys = resolve_scopes(params, scopes)
+        return {
+            k: (quantize_params_int8(v, min_in_chan, min_out_chan,
+                                     skip_substrings)
+                if k in keys else v)
+            for k, v in params.items()
+        }
     if isinstance(params, dict):
         if "weights" in params and "biases" in params:
             w = jnp.asarray(params["weights"])
@@ -158,7 +191,7 @@ def fake_quant_act(x):
 
 
 def qat_view(params, min_in_chan=128, min_out_chan=32,
-             skip_substrings=("upconv", "deconv")):
+             skip_substrings=("upconv", "deconv"), scopes=None):
     """Quantization-aware-training view of a param tree.
 
     Renames each eligible layer's "weights" to "weights_fq" (arrays are
@@ -173,13 +206,22 @@ def qat_view(params, min_in_chan=128, min_out_chan=32,
     match deployment up to that hardware rounding, not bitwise. Same
     ``min_in_chan``/``skip_substrings`` selectivity as
     quantize_params_int8 (the two MUST agree so training and deployment
-    quantize the same layer set).
+    quantize the same layer set). ``scopes`` mirrors quantize_params_int8's
+    stage scoping — QAT for a scoped deployment preset must fake-quantize
+    exactly the scoped stages.
 
     Usage (wrap the loss; params/optimizer stay float):
         loss_qat = lambda p, batch, key: loss_fn(qat_view(p), batch, key)
     After training, quantize_params_int8(params) produces the deployment
     tree with the scales the weights were trained under.
     """
+    if scopes is not None:
+        keys = resolve_scopes(params, scopes)
+        return {
+            k: (qat_view(v, min_in_chan, min_out_chan, skip_substrings)
+                if k in keys else v)
+            for k, v in params.items()
+        }
     if isinstance(params, dict):
         if "weights" in params and "biases" in params:
             if not _eligible(params["weights"], min_in_chan, min_out_chan):

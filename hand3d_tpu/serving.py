@@ -21,14 +21,25 @@ from hand3d_tpu.models.cascade import ColorHandPose3D
 from hand3d_tpu.weights import load_npz
 
 
-def prepare_params(params, quantize=None, phase_pack=False):
+def prepare_params(params, quantize=None, phase_pack=False,
+                   quantize_scope=None):
     """Apply the optional inference-time param transforms (shared by the
-    live estimator and the AOT exporter)."""
+    live estimator and the AOT exporter).
+
+    ``quantize_scope``: optional iterable of stage names (case-insensitive,
+    e.g. {"handsegnet"}) restricting int8 quantization to those scopes —
+    the drift-free preset: the measured ablation localizes all int8 uv
+    drift to PoseNet2D activations while HandSegNet carries ~half the
+    cascade FLOPs (docs/DESIGN.md, docs/PRESETS.md)."""
     assert quantize in (None, "int8"), quantize
     if quantize == "int8":
         from hand3d_tpu.ops.quant import quantize_params_int8
 
-        params = quantize_params_int8(params)
+        params = quantize_params_int8(
+            params,
+            scopes=set(quantize_scope) if quantize_scope else None)
+    else:
+        assert not quantize_scope, "quantize_scope requires quantize='int8'"
     if phase_pack:
         from hand3d_tpu.ops.phasepack import phase_pack_params
 
@@ -90,7 +101,8 @@ def normalize_images(images):
 class HandPoseEstimator:
     def __init__(self, params, batch_size=16, input_hw=(240, 320),
                  compute_dtype=None, left_hand=True, seg_scale=1.0,
-                 mesh=None, quantize=None, phase_pack=False):
+                 mesh=None, quantize=None, phase_pack=False,
+                 quantize_scope=None):
         """``mesh``: optional jax.sharding.Mesh (parallel.make_mesh) for
         multi-chip serving — the batch shards over the "data" axis and the
         params get the tensor-parallel layout for the mesh's "model" axis
@@ -99,7 +111,9 @@ class HandPoseEstimator:
 
         ``quantize``: None or "int8" — post-training int8 quantization of
         the conv/FC path (ops.quant; ~2x MXU rate on v5e). Composable with
-        seg_scale and mesh.
+        seg_scale and mesh. ``quantize_scope``: restrict quantization to
+        the named stages (e.g. {"handsegnet"} — the drift-free scoped
+        preset; see prepare_params).
 
         ``phase_pack``: pack conv1_2's two horizontal output phases into the
         MXU's 128 lanes with a fused conv+relu+pool (ops.phasepack). Same
@@ -110,7 +124,8 @@ class HandPoseEstimator:
         input width (round(input width x seg_scale) — all stock resolutions
         are), and combining with seg_scale < 1 measured a batch-1 latency
         REGRESSION (DESIGN.md) — pick one lever or the other."""
-        params = prepare_params(params, quantize, phase_pack)
+        params = prepare_params(params, quantize, phase_pack,
+                                quantize_scope=quantize_scope)
         self.net = ColorHandPose3D(compute_dtype=compute_dtype,
                                    seg_scale=seg_scale)
         self.batch_size = batch_size

@@ -237,3 +237,72 @@ def test_serving_int8_mesh_fast_composition(rng):
     np.testing.assert_allclose(
         out_m["keypoint_coord3d"], out_s["keypoint_coord3d"], atol=1e-5
     )
+
+
+def test_scoped_quantization_handsegnet_only():
+    """scopes={"handsegnet"} quantizes only that stage (case-insensitive
+    names resolve to scope keys; unknown names raise); PoseNet2D outputs —
+    hence uv decode given an identical crop — are bitwise float."""
+    import pytest
+
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+    from hand3d_tpu.ops.quant import qat_view, resolve_scopes
+
+    net = ColorHandPose3D()
+    params = net.init(KEY)
+    q = quantize_params_int8(params, scopes={"handsegnet"})
+    flat_types = []
+
+    def walk(t, inside):
+        for k, v in t.items():
+            if isinstance(v, dict) and ("weights" in v or "weights_q" in v):
+                flat_types.append((inside, "weights_q" in v))
+            elif isinstance(v, dict):
+                walk(v, inside)
+
+    walk(q["HandSegNet"], True)
+    for scope in ("PoseNet2D", "PosePrior", "ViewpointNet"):
+        walk(q[scope], False)
+        # unscoped stages are the SAME objects — zero copies, zero rounding
+        assert q[scope] is params[scope]
+    assert any(quant for inside, quant in flat_types if inside)
+    assert not any(quant for inside, quant in flat_types if not inside)
+
+    assert resolve_scopes(params, {"HANDSEGNET"}) == {"HandSegNet"}
+    with pytest.raises(ValueError, match="unknown quantize scope"):
+        quantize_params_int8(params, scopes={"handsgnet"})
+
+    # QAT view honors the same scoping (training/deployment must agree)
+    v = qat_view(params, scopes={"handsegnet"})
+    assert v["PoseNet2D"] is params["PoseNet2D"]
+    assert any("weights_fq" in lv for lv in v["HandSegNet"].values()
+               if isinstance(lv, dict))
+
+
+def test_serving_estimator_scoped_int8(rng):
+    """quantize_scope plumbs through HandPoseEstimator; with an identical
+    crop the 2D/3D outputs are bitwise equal to full-float serving on CPU
+    (only HandSegNet is quantized, and on this fixture the crop box is
+    unchanged)."""
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+    from hand3d_tpu.serving import HandPoseEstimator
+
+    params = ColorHandPose3D().init(KEY)
+    images = (rng.rand(2, 120, 160, 3) * 255).astype(np.uint8)
+    kw = dict(batch_size=2, input_hw=(120, 160))
+    base = HandPoseEstimator(params, **kw).predict(images)
+    scoped = HandPoseEstimator(params, quantize="int8",
+                               quantize_scope={"handsegnet"},
+                               **kw).predict(images)
+    assert np.isfinite(scoped["keypoint_coord3d"]).all()
+    # crop boxes agree on this fixture -> everything downstream is the
+    # same float program on the same crop
+    if np.array_equal(scoped["center"], base["center"]) and np.array_equal(
+        scoped["scale_crop"], base["scale_crop"]
+    ):
+        np.testing.assert_array_equal(
+            scoped["keypoint_coord3d"], base["keypoint_coord3d"]
+        )
+        np.testing.assert_array_equal(
+            scoped["keypoint_uv21"], base["keypoint_uv21"]
+        )

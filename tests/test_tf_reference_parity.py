@@ -1,0 +1,425 @@
+"""Parity against the REFERENCE ITSELF, executed via TF on CPU.
+
+Until round 3 the cross-checks were numpy goldens plus an independent torch
+build — a re-implementation judging a re-implementation. TF 2.21 is present
+in this container, so these tests run the reference's own graphs
+(tools/tf_reference_oracle.py) and diff hand3d_tpu against them:
+
+  * the full cascade, same weights into both stacks
+    (nets/ColorHandPose3DNetwork.py:61-129)
+  * every glue op on random batches (utils/general.py:163-357,
+    utils/canonical_trafo.py:94-162, utils/relative_trafo.py:184-295)
+  * the reader's derived-feature graph on synthetic records
+    (data/BinaryDbReader.py:126-368)
+  * EvalUtil / calc_auc (utils/general.py:522-611, :654-675)
+  * checkpoints written by tf1.train.Saver through the TF-free parser and
+    the reference's load_weights_from_snapshot (general.py:614-651)
+
+Slow (TF graph builds): deselect with -m 'not slow'. Skipped automatically
+where tensorflow is not installed.
+"""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        importlib.util.find_spec("tensorflow") is None,
+        reason="tensorflow not installed",
+    ),
+    pytest.mark.skipif(
+        not os.path.isdir(os.environ.get("HAND3D_REFERENCE", "/root/reference")),
+        reason="reference checkout not present",
+    ),
+]
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    import tf_reference_oracle as oracle
+
+    return oracle
+
+
+@pytest.fixture(scope="module")
+def jnp_cpu():
+    import jax
+
+    return jax
+
+
+@pytest.fixture(scope="module")
+def ref_cascade(oracle):
+    """Reference cascade outputs + its randomly-initialized weights."""
+    rng = np.random.RandomState(7)
+    image = rng.rand(2, 240, 320, 3).astype(np.float32) - 0.5
+    hand_side = np.asarray([[1.0, 0.0], [0.0, 1.0]], np.float32)
+    outs, flat = oracle.reference_cascade_outputs(image, hand_side)
+    return image, hand_side, outs, flat
+
+
+def test_cascade_end_to_end(oracle, jnp_cpu, ref_cascade):
+    """Same weights into both stacks -> same six outputs.
+
+    ColorHandPose3DNetwork.inference (:61-99) vs models/cascade.py.
+    """
+    import jax
+
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+    from hand3d_tpu.weights.convert import flat_to_tree
+
+    image, hand_side, ref_outs, flat = ref_cascade
+    tree = flat_to_tree(flat)
+
+    model = ColorHandPose3D()
+    # the reference variable surface must exactly cover our init tree
+    init = model.init(jax.random.PRNGKey(0))
+    from hand3d_tpu.weights.convert import tree_to_flat
+
+    ours, theirs = tree_to_flat(init), tree_to_flat(tree)
+    assert set(ours) == set(theirs)
+    for k in ours:
+        assert np.shape(ours[k]) == np.shape(theirs[k]), k
+
+    out = jax.jit(model.inference)(tree, image, hand_side)
+    tol = {
+        "hand_scoremap": 1e-5,
+        "image_crop": 1e-3,  # tf.image.crop_and_resize rounding
+        "scale_crop": 1e-5,
+        "center": 1e-4,
+        "keypoints_scoremap": 1e-5,
+        "keypoint_coord3d": 1e-5,
+    }
+    for name, atol in tol.items():
+        mine = np.asarray(getattr(out, name))
+        np.testing.assert_allclose(mine, ref_outs[name], atol=atol, err_msg=name)
+
+
+def test_inference2d(oracle, jnp_cpu):
+    """2D half (ColorHandPose3DNetwork.inference2d :101-129)."""
+    import jax
+
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+    from hand3d_tpu.weights.convert import flat_to_tree
+
+    rng = np.random.RandomState(3)
+    image = rng.rand(2, 240, 320, 3).astype(np.float32) - 0.5
+    ref_outs, flat = oracle.reference_inference2d_outputs(image)
+    tree = flat_to_tree(flat)
+
+    model = ColorHandPose3D()
+    out = jax.jit(model.inference2d)(tree, image)
+    np.testing.assert_allclose(
+        np.asarray(out.keypoints_scoremap), ref_outs["keypoints_scoremap"],
+        atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.image_crop), ref_outs["image_crop"], atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out.scale_crop), ref_outs["scale_crop"], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.center), ref_outs["center"], atol=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["direct", "bottleneck", "local",
+                                     "proposed"])
+def test_posepriornet_variants(oracle, jnp_cpu, variant):
+    """Standalone lifting variants (nets/PosePriorNetwork.py:59-95)."""
+    import jax
+
+    from hand3d_tpu.models.poseprior import PosePriorNetwork
+    from hand3d_tpu.weights.convert import flat_to_tree
+
+    rng = np.random.RandomState(11)
+    scoremap = rng.rand(2, 256, 256, 21).astype(np.float32)
+    hand_side = np.asarray([[1.0, 0.0], [0.0, 1.0]], np.float32)
+    (ref_rel, ref_c3d), flat = oracle.reference_posepriornet_outputs(
+        scoremap, hand_side, variant)
+
+    net = PosePriorNetwork(variant)
+    out = jax.jit(lambda p, s, h: net.apply(p, s, h))(
+        flat_to_tree(flat), scoremap, hand_side)
+    np.testing.assert_allclose(
+        np.asarray(out.coord_xyz_rel_normed), ref_rel, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.coord3d), ref_c3d, atol=1e-5)
+
+
+def test_glue_crop_image_from_xy(oracle, jnp_cpu):
+    """utils/general.crop_image_from_xy (:163-196) on random batches."""
+    from hand3d_tpu.ops.image import crop_image_from_xy
+
+    rng = np.random.RandomState(0)
+    image = rng.rand(3, 120, 160, 3).astype(np.float32)
+    centers = np.stack([rng.uniform(10, 110, 3), rng.uniform(10, 150, 3)],
+                       -1).astype(np.float32)
+    scale = np.asarray([1.0, 2.3, 0.7], np.float32)
+
+    ref = oracle.run_tf(
+        lambda r, p: r.general.crop_image_from_xy(
+            p["image"], p["centers"], 64, p["scale"]),
+        {"image": image, "centers": centers, "scale": scale})
+    mine = np.asarray(crop_image_from_xy(image, centers, 64, scale))
+    np.testing.assert_allclose(mine, ref, atol=1e-4)
+
+    # scalar-scale path (the cascade calls it with a python default)
+    ref1 = oracle.run_tf(
+        lambda r, p: r.general.crop_image_from_xy(p["image"], p["centers"], 32),
+        {"image": image, "centers": centers})
+    mine1 = np.asarray(crop_image_from_xy(image, centers, 32, 1.0))
+    np.testing.assert_allclose(mine1, ref1, atol=1e-4)
+
+
+def _blobby_scoremap(rng, b, h, w):
+    """2-channel segmentation logits with a few smooth fg bumps per image."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    fg = np.zeros((b, h, w), np.float32)
+    for i in range(b):
+        for _ in range(3):
+            cy, cx = rng.uniform(5, h - 5), rng.uniform(5, w - 5)
+            s = rng.uniform(3, 9)
+            fg[i] += 6.0 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2)
+                                  / (2 * s * s)).astype(np.float32)
+    return np.stack([np.zeros_like(fg), fg - 2.0], -1)
+
+
+def test_glue_segmentation_chain(oracle, jnp_cpu):
+    """find_max_location + single_obj_scoremap + calc_center_bb
+    (utils/general.py:199-328) on random blobby maps."""
+    from hand3d_tpu.ops.segmentation import (
+        calc_center_bb,
+        find_max_location,
+        single_obj_scoremap,
+    )
+
+    rng = np.random.RandomState(5)
+    scoremap = _blobby_scoremap(rng, 3, 48, 64)
+
+    fg = np.asarray(
+        oracle.run_tf(
+            lambda r, p: r.general.find_max_location(
+                r.tf1.reduce_max(r.tf1.nn.softmax(p["sm"])[..., 1:], 3)),
+            {"sm": scoremap}))
+    sm_soft = np.exp(scoremap) / np.exp(scoremap).sum(-1, keepdims=True)
+    mine_loc = np.asarray(find_max_location(sm_soft[..., 1:].max(-1)))
+    np.testing.assert_array_equal(mine_loc, fg)
+
+    ref_mask = np.asarray(
+        oracle.run_tf(lambda r, p: r.general.single_obj_scoremap(p["sm"]),
+                      {"sm": scoremap}))
+    mine_mask = np.asarray(single_obj_scoremap(scoremap))
+    np.testing.assert_array_equal(np.squeeze(mine_mask), np.squeeze(ref_mask))
+
+    ref_c, ref_bb, ref_cs = oracle.run_tf(
+        lambda r, p: r.general.calc_center_bb(p["m"]), {"m": ref_mask})
+    mine_c, mine_bb, mine_cs = calc_center_bb(mine_mask)
+    np.testing.assert_allclose(np.asarray(mine_c), ref_c, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mine_cs), ref_cs, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mine_bb), ref_bb, atol=1e-5)
+
+    # empty-mask fallback constants (general.py:311-320)
+    empty = np.zeros((2, 48, 64, 1), np.float32)
+    ref_c, _, ref_cs = oracle.run_tf(
+        lambda r, p: r.general.calc_center_bb(p["m"]), {"m": empty})
+    mine_c, _, mine_cs = calc_center_bb(empty)
+    np.testing.assert_allclose(np.asarray(mine_c), ref_c)
+    np.testing.assert_allclose(np.asarray(mine_cs), ref_cs)
+
+
+def test_glue_canonical_and_relative(oracle, jnp_cpu):
+    """canonical_trafo + flip_right_hand (canonical_trafo.py:94-162) and
+    bone_rel_trafo(+inv) (relative_trafo.py:184-295) on random coords."""
+    from hand3d_tpu.ops.canonical import canonical_trafo, flip_right_hand
+    from hand3d_tpu.ops.kinematics import bone_rel_trafo, bone_rel_trafo_inv
+
+    rng = np.random.RandomState(9)
+    coords = rng.randn(4, 21, 3).astype(np.float32)
+    cond = np.asarray([True, False, True, False])
+
+    ref_can, ref_rot = oracle.run_tf(
+        lambda r, p: r.canonical.canonical_trafo(p["c"]), {"c": coords})
+    mine_can, mine_rot = canonical_trafo(coords)
+    np.testing.assert_allclose(np.asarray(mine_can), ref_can, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mine_rot), ref_rot, atol=1e-4)
+
+    ref_flip = oracle.run_tf(
+        lambda r, p: r.canonical.flip_right_hand(
+            p["c"], r.tf1.constant(cond)), {"c": coords})
+    mine_flip = flip_right_hand(coords, cond[:, None, None])
+    np.testing.assert_allclose(np.asarray(mine_flip), ref_flip, atol=1e-6)
+
+    ref_local = oracle.run_tf(
+        lambda r, p: r.relative.bone_rel_trafo(p["c"]), {"c": coords})
+    mine_local = bone_rel_trafo(coords)
+    np.testing.assert_allclose(np.asarray(mine_local), np.asarray(ref_local),
+                               atol=1e-4)
+
+    rel = rng.randn(4, 21, 3).astype(np.float32) * 0.3
+    ref_inv = oracle.run_tf(
+        lambda r, p: r.relative.bone_rel_trafo_inv(p["c"]), {"c": rel})
+    mine_inv = bone_rel_trafo_inv(rel)
+    np.testing.assert_allclose(np.asarray(mine_inv), np.asarray(ref_inv),
+                               atol=1e-4)
+
+
+def test_host_decode_helpers(oracle):
+    """detect_keypoints / trafo_coords (general.py:331-357, pure numpy)."""
+    from hand3d_tpu.ops.keypoints import detect_keypoints_2d, trafo_coords
+
+    ref = oracle.import_reference()
+    rng = np.random.RandomState(2)
+    sm = rng.rand(64, 48, 21).astype(np.float32)
+    ref_kp = ref.general.detect_keypoints(sm)
+    mine_kp = np.asarray(detect_keypoints_2d(sm[None]))[0]
+    np.testing.assert_array_equal(mine_kp, ref_kp)
+
+    centers = rng.uniform(20, 200, (1, 2)).astype(np.float32)
+    scale = np.float32(1.7)
+    ref_tc = ref.general.trafo_coords(ref_kp.copy(), centers, scale, 256)
+    mine_tc = np.asarray(trafo_coords(mine_kp[None], centers, scale, 256))[0]
+    np.testing.assert_allclose(mine_tc, ref_tc, atol=1e-4)
+
+
+@pytest.mark.parametrize("dominant,use_wrist,hand_crop", [
+    ("left", True, False),
+    ("right", True, True),
+    ("left", False, True),
+])
+def test_derived_features_vs_reference_reader(oracle, jnp_cpu, tmp_path,
+                                              dominant, use_wrist, hand_crop):
+    """preprocess_rhd vs the reference reader's derived-data graph
+    (data/BinaryDbReader.py:126-368) on synthetic records."""
+    import jax
+
+    from fixtures import make_rhd_bin
+    from hand3d_tpu.data.config import PreprocessConfig
+    from hand3d_tpu.data.preprocess import preprocess_rhd
+    from hand3d_tpu.data.rhd import RHDDataset
+
+    path = make_rhd_bin(tmp_path / "rhd.bin", num_records=3, seed=4,
+                        dominant=dominant)
+    ds = RHDDataset("evaluation", path=str(path))
+    raw = ds.raw_batch(np.arange(3))
+
+    cfg = PreprocessConfig(use_wrist_coord=use_wrist, hand_crop=hand_crop)
+    mine = jax.jit(lambda r: preprocess_rhd(cfg, r))(raw)
+    mine = {k: np.asarray(v) for k, v in mine.items()}
+
+    tol = {
+        "image": 1e-6, "hand_mask": 0, "hand_parts": 0, "hand_side": 0,
+        "keypoint_uv": 1e-5, "keypoint_vis": 0, "keypoint_xyz": 1e-6,
+        "keypoint_xyz21": 1e-6, "keypoint_uv21": 1e-3, "keypoint_vis21": 0,
+        "keypoint_scale": 1e-6, "keypoint_xyz21_normed": 1e-5,
+        "keypoint_xyz21_local": 1e-4, "keypoint_xyz21_can": 1e-4,
+        "rot_mat": 1e-4, "scoremap": 1e-4, "image_crop": 1e-3,
+        "crop_scale": 1e-5, "cam_mat": 1e-2,
+    }
+    for i in range(3):
+        sample = {k: np.asarray(v[i]) for k, v in raw.items()}
+        ref = oracle.reference_derived_features(
+            sample, use_wrist_coord=use_wrist, hand_crop=hand_crop)
+        shared = set(ref) & set(mine)
+        # everything the reference produces must exist on our side
+        assert set(ref) <= set(mine), sorted(set(ref) - set(mine))
+        for k in sorted(shared):
+            a, b = np.squeeze(mine[k][i]), np.squeeze(ref[k])
+            if k == "scoremap":
+                _assert_scoremap_close(a, b, mine["keypoint_uv21"][i],
+                                       ref["keypoint_uv21"], tol[k], i)
+                continue
+            np.testing.assert_allclose(
+                a.astype(np.float64), b.astype(np.float64),
+                atol=tol[k], err_msg=f"{k} sample {i}")
+
+
+def _assert_scoremap_close(a, b, uv_mine, uv_ref, atol, i):
+    """GT scoremaps match per channel, modulo truncation-boundary flips.
+
+    The reference truncates crop-frame uv to int before rendering the
+    Gaussian (BinaryDbReader.create_multiple_gaussian_map :415); when the
+    float uv sits within one ulp of an integer ((uv-center)*scale computed
+    in a different association order: observed 63.999996 vs TF's 64.0),
+    both stacks are 'correct' but the truncated centers differ by 1 px.
+    Accept exactly that case: float uv agree to 1e-2 and the rendered
+    argmax differs by <= 1 px; everything else must match to atol.
+    """
+    for ch in range(a.shape[-1]):
+        if np.allclose(a[..., ch], b[..., ch], atol=atol, rtol=0):
+            continue
+        np.testing.assert_allclose(uv_mine[ch], uv_ref[ch], atol=1e-2,
+                                   err_msg=f"scoremap ch{ch} sample {i}")
+        pa = np.unravel_index(np.argmax(a[..., ch]), a.shape[:2])
+        pb = np.unravel_index(np.argmax(b[..., ch]), b.shape[:2])
+        assert max(abs(pa[0] - pb[0]), abs(pa[1] - pb[1])) <= 1, (
+            f"scoremap ch{ch} sample {i}: argmax {pa} vs {pb}, "
+            "more than a truncation-boundary flip")
+
+
+def test_evalutil_cross(oracle):
+    """EvalUtil + calc_auc (general.py:522-611, :654-675)."""
+    from hand3d_tpu.eval.metrics import EvalUtil, calc_auc
+
+    ref = oracle.import_reference()
+    rng = np.random.RandomState(13)
+    ours, theirs = EvalUtil(), ref.general.EvalUtil()
+    for _ in range(40):
+        gt = rng.randn(21, 3) * 30
+        pred = gt + rng.randn(21, 3) * rng.uniform(0.5, 15)
+        vis = rng.rand(21) > 0.25
+        ours.feed(gt, vis, pred)
+        theirs.feed(gt, vis, pred)
+    m_mine = ours.get_measures(0.0, 50.0, 20)
+    m_ref = theirs.get_measures(0.0, 50.0, 20)
+    for a, b in zip(m_mine[:3], m_ref[:3]):
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+    np.testing.assert_allclose(m_mine[3], m_ref[3], rtol=1e-12)
+
+    x = np.linspace(0, 50, 30)
+    y = rng.rand(30)
+    np.testing.assert_allclose(calc_auc(x, y), ref.general.calc_auc(x, y),
+                               rtol=1e-12)
+
+
+def test_tf_written_checkpoint_roundtrip(oracle, tmp_path):
+    """weights/tf_ckpt.py against a checkpoint ACTUALLY written by
+    tf1.train.Saver, plus discard/rename semantics vs the reference's
+    load_weights_from_snapshot (general.py:614-651,
+    training_posenet.py:74-76)."""
+    from hand3d_tpu.weights.convert import apply_discard_rename
+    from hand3d_tpu.weights.tf_ckpt import load_tf_checkpoint
+
+    rng = np.random.RandomState(21)
+    flat = {
+        "CPM/PersonNet/conv1_1/weights": rng.randn(3, 3, 3, 8).astype(np.float32),
+        "CPM/PersonNet/conv1_1/biases": rng.randn(8).astype(np.float32),
+        "CPM/PoseNet/conv1_1_CPM/weights": rng.randn(3, 3, 8, 16).astype(np.float32),
+        "CPM/PoseNet/Mconv1_stage2/weights": rng.randn(7, 7, 16, 16).astype(np.float32),
+        "CPM/PersonNet/conv1_1/weights/Adam": rng.randn(3, 3, 3, 8).astype(np.float32),
+        "beta1_power": np.asarray(0.9, np.float32),
+        "global_step_f": np.asarray(1234.0, np.float32),
+    }
+    ckpt = oracle.save_tf_checkpoint(str(tmp_path / "snap-1234"), flat)
+
+    # (a) the TF-free parser reads a real Saver checkpoint bit-identically
+    parsed = load_tf_checkpoint(ckpt)
+    assert set(parsed) == set(flat)
+    for k, v in flat.items():
+        np.testing.assert_array_equal(parsed[k], v, err_msg=k)
+
+    # (b) discard+rename matches the reference loader executed for real
+    discard = ["Adam", "global_step", "beta"]
+    rename = {"CPM/PersonNet": "HandSegNet", "CPM/PoseNet": "PoseNet2D"}
+    mine = apply_discard_rename(parsed, discard, rename)
+    ref_vals = oracle.reference_load_weights_from_snapshot(
+        ckpt, {k: v.shape for k, v in mine.items()},
+        discard_list=discard, rename_dict=rename)
+    assert set(ref_vals) == set(mine)
+    for k in mine:
+        np.testing.assert_array_equal(mine[k], ref_vals[k], err_msg=k)

@@ -43,6 +43,12 @@ _ROWS = [
      {"HAND3D_BENCH_SEG_SCALE": "0.5"}),
     ("int8_b32", "int8 PTQ, batch 32", 32, 700,
      {"HAND3D_BENCH_QUANT": "int8"}),
+    ("int8_seg_b32", "int8 HandSegNet-scoped (drift-free), batch 32", 32,
+     700, {"HAND3D_BENCH_QUANT": "int8",
+           "HAND3D_BENCH_QUANT_SCOPE": "handsegnet"}),
+    ("int8_seg_b128", "int8 HandSegNet-scoped (drift-free), batch 128", 128,
+     700, {"HAND3D_BENCH_QUANT": "int8",
+           "HAND3D_BENCH_QUANT_SCOPE": "handsegnet"}),
     ("int8_fast_b32", "int8 + fast preset, batch 32", 32, 700,
      {"HAND3D_BENCH_QUANT": "int8", "HAND3D_BENCH_SEG_SCALE": "0.5"}),
     ("int8_fast_b128", "int8 + fast preset, batch 128", 128, 700,

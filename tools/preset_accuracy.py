@@ -184,6 +184,10 @@ def main():
         "seg_scale=0.5": (ColorHandPose3D(seg_scale=0.5), params),
         "bf16": (ColorHandPose3D(compute_dtype=jax.numpy.bfloat16), params),
         "int8": (net, quantize_params_int8(params)),
+        # HandSegNet-scoped int8: the drift-free half of the int8 speedup
+        # (DESIGN.md ablation: all uv drift localizes to PoseNet2D)
+        "int8_seg": (net, quantize_params_int8(params,
+                                               scopes={"handsegnet"})),
         "phase_pack": (net, phase_pack_params(params)),
     }
     results = {}
