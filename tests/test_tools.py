@@ -200,3 +200,59 @@ def test_average_params_npz_and_snapshots(tmp_path):
                          "--out", out2])
     got2 = load_npz(out2)
     np.testing.assert_allclose(got2["net"]["w"], 3.0)
+
+
+def test_run_baseline_parity_report_path(tmp_path):
+    """tools/run_baseline_parity.py: discovery, harness plumbing, verdicts,
+    skip reasons and the markdown report — on synthetic data + fake
+    'shipped' pickles (random weights, so verdicts are FAIL; the tool's
+    job here is correct plumbing, the PASS path needs the real artifacts)."""
+    import pickle as pkl
+
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import run_baseline_parity as tool
+    from fixtures import make_rhd_bin, make_stb_bin
+
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+    from hand3d_tpu.models.poseprior import PosePriorNetwork
+    from hand3d_tpu.weights.convert import tree_to_flat
+
+    data_dir = tmp_path / "data"
+    weights_dir = tmp_path / "weights"
+    data_dir.mkdir(), weights_dir.mkdir()
+    make_rhd_bin(str(data_dir / "rhd_evaluation.bin"), num_records=4)
+    make_stb_bin(str(data_dir / "stb_evaluation.bin"), num_records=4)
+
+    # fake shipped pickles in the reference's format ({name: ndarray})
+    full = ColorHandPose3D().init(jax.random.PRNGKey(0))
+    seg_flat = tree_to_flat({"HandSegNet": full["HandSegNet"]})
+    pose_flat = tree_to_flat({"PoseNet2D": full["PoseNet2D"]})
+    lift_flat = tree_to_flat(
+        PosePriorNetwork("direct").init(jax.random.PRNGKey(1)))
+    full_flat = tree_to_flat(full)
+    for name, flat in [("handsegnet-rhd.pickle", seg_flat),
+                       ("posenet-rhd-stb.pickle", pose_flat),
+                       ("lifting-direct.pickle", lift_flat),
+                       ("posenet3d-rhd-stb.pickle", full_flat)]:
+        with open(weights_dir / name, "wb") as f:
+            pkl.dump({k: np.asarray(v) for k, v in flat.items()}, f)
+
+    results = tool.run_rows(str(data_dir), str(weights_dir),
+                            rows=[1, 2, 7, 8, 12], batch_size=2,
+                            progress=False)
+    # mapped rows with artifacts present ran and were judged
+    for row in (1, 7, 12):
+        assert not results[row].get("skipped"), results[row]
+        assert set(results[row]["measured"]) == set(tool.ROWS[row]["expect"])
+        assert results[row]["ok"] in (True, False)
+    # retrained row skips with a reason; missing pickle row too
+    assert results[2]["skipped"] and "snap_pose" in results[2]["reason"]
+    assert results[8]["skipped"] and "bottleneck" in results[8]["reason"]
+
+    class _Args:
+        batch_size, tolerance_rel = 2, 0.02
+
+    doc = tool._markdown(results, _Args)
+    assert "| 1 |" in doc and "SKIPPED" in doc and "Expected" in doc
