@@ -19,6 +19,9 @@ import jax
 import jax.numpy as jnp
 
 _DILATION_FILTER_SIZE = 21  # general.py:236
+# XLA flood-fill switches to an early-exit while_loop at/below this batch
+# (latency regime); above it, the fixed-trip fori_loop pipelines better
+_EARLY_EXIT_MAX_BATCH = 4
 
 
 def find_max_location(scoremap):
@@ -91,6 +94,29 @@ def single_obj_scoremap(scoremap, num_passes=None, method="auto"):
         seed = (
             (rows == max_loc[:, 0:1, None]) & (cols == max_loc[:, None, 1:2])
         ).astype(jnp.float32)
+
+        if b <= _EARLY_EXIT_MAX_BATCH:
+            # serving-latency regime: the fill is a monotone fixed-point
+            # iteration (extra passes are no-ops), so stopping at the fixed
+            # point is bit-identical to the full trip count. Real masks
+            # converge in far fewer than the worst-case max(H, W)//10
+            # passes; at batch 1 the measured flood fill is ~0.19 ms of the
+            # 1.78 ms cascade (docs/DESIGN.md batch-1 analysis). At large
+            # batch ALL images must converge and the per-pass convergence
+            # reduction + the while_loop's weaker pipelining cost more than
+            # they save, so the fixed-trip fori_loop stays.
+            def cond(state):
+                i, obj, changed = state
+                return (i < num_passes) & changed
+
+            def step(state):
+                i, obj, _ = state
+                new = detmap * _maxpool_same(obj, _DILATION_FILTER_SIZE)
+                return i + 1, new, jnp.any(new != obj)
+
+            _, obj, _ = jax.lax.while_loop(
+                cond, step, (jnp.int32(0), seed, jnp.bool_(True)))
+            return obj[..., None]
 
         def body(_, obj):
             return detmap * _maxpool_same(obj, _DILATION_FILTER_SIZE)

@@ -141,3 +141,25 @@ def test_decode_keypoints_upsampled_pallas_edge_peak(rng):
     )
     got = np.asarray(decode_keypoints_upsampled_pallas(jnp.asarray(sm), 4))
     np.testing.assert_array_equal(got, want)
+
+
+def test_xla_flood_fill_early_exit_matches_fixed_trip(rng):
+    """At batch <= 4 the XLA flood fill early-exits at the fixed point
+    (while_loop); the result must be bit-identical to the fixed-trip
+    fori_loop path (exercised by tiling the same maps past the batch
+    threshold)."""
+    lg2 = np.stack([_two_blob_logits()[0], _two_blob_logits()[0]])
+    lg2[1, 12, 16:40, 1] = 10.0  # one bridged, one separated sample
+    small = np.asarray(single_obj_scoremap(jnp.asarray(lg2), method="xla"))
+    big = np.asarray(
+        single_obj_scoremap(jnp.asarray(np.tile(lg2, (4, 1, 1, 1))),
+                            method="xla"))
+    np.testing.assert_array_equal(small, big[:2])
+    np.testing.assert_array_equal(small, big[2:4])
+
+    # empty foreground: first pass zeroes the seed, second detects the
+    # fixed point; must equal the full-trip result (all zeros)
+    empty = np.full((1, 48, 64, 2), 0.0, np.float32)
+    empty[..., 0] = 9.0  # background wins everywhere
+    out = np.asarray(single_obj_scoremap(jnp.asarray(empty), method="xla"))
+    np.testing.assert_array_equal(out, np.zeros((1, 48, 64, 1), np.float32))

@@ -53,6 +53,14 @@ _ROWS = [
      {"HAND3D_BENCH_QUANT": "int8", "HAND3D_BENCH_SEG_SCALE": "0.5"}),
     ("int8_fast_b128", "int8 + fast preset, batch 128", 128, 700,
      {"HAND3D_BENCH_QUANT": "int8", "HAND3D_BENCH_SEG_SCALE": "0.5"}),
+    ("int8_seg_pp_b32", "int8 HandSegNet-scoped + phase_pack, batch 32", 32,
+     700, {"HAND3D_BENCH_QUANT": "int8",
+           "HAND3D_BENCH_QUANT_SCOPE": "handsegnet",
+           "HAND3D_BENCH_PHASEPACK": "1"}),
+    ("int8_seg_pp_b128", "int8 HandSegNet-scoped + phase_pack, batch 128",
+     128, 700, {"HAND3D_BENCH_QUANT": "int8",
+                "HAND3D_BENCH_QUANT_SCOPE": "handsegnet",
+                "HAND3D_BENCH_PHASEPACK": "1"}),
     ("int8_pp_b32", "int8 + phase_pack (parity res), batch 32", 32, 700,
      {"HAND3D_BENCH_QUANT": "int8", "HAND3D_BENCH_PHASEPACK": "1"}),
     ("int8_pp_b128", "int8 + phase_pack (parity res), batch 128", 128, 700,

@@ -188,6 +188,10 @@ def main():
         # (DESIGN.md ablation: all uv drift localizes to PoseNet2D)
         "int8_seg": (net, quantize_params_int8(params,
                                                scopes={"handsegnet"})),
+        # ... composed with phase_pack (candidate parity-accuracy headline:
+        # both constituents bound at 0.00 px individually)
+        "int8_seg_pp": (net, phase_pack_params(
+            quantize_params_int8(params, scopes={"handsegnet"}))),
         "phase_pack": (net, phase_pack_params(params)),
     }
     results = {}
