@@ -249,7 +249,8 @@ def test_preset_accuracy_runs_end_to_end(tmp_path):
     lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     summary = json.loads(lines[-1])
     assert set(summary["presets"]) == {
-        "seg_scale=0.5", "bf16", "int8", "phase_pack"}
+        "seg_scale=0.5", "bf16", "int8", "int8_seg", "int8_seg_pp",
+        "phase_pack"}
     for name, deltas in summary["presets"].items():
         assert "uv21_epe_px" in deltas and "coord3d_drift" in deltas, name
     assert "Preset accuracy bounds" in doc.read_text()

@@ -97,7 +97,12 @@ def import_reference():
     """
     tf1 = make_tf1()
     if REFERENCE not in sys.path:
-        sys.path.insert(0, REFERENCE)
+        # APPEND, never insert(0): the reference root also contains
+        # top-level scripts named like ours (create_binary_db.py, ...) that
+        # execute work at import time; prepending would shadow the repo's
+        # own modules for the rest of the process (observed: test_tools
+        # imported the REFERENCE's converter after a parity test ran)
+        sys.path.append(REFERENCE)
     import data.BinaryDbReader as bdb  # noqa: E402
     import nets.ColorHandPose3DNetwork as chp  # noqa: E402
     import nets.PosePriorNetwork as ppn  # noqa: E402
