@@ -44,7 +44,7 @@ from hand3d_tpu.train.loop import fit
 SCOREMAP_SIZE = 32  # PosePrior's expected input resolution (PosePriorNetwork.py:61)
 
 
-def make_joint_loss(variant, w2d, w3d):
+def make_joint_loss(variant, w2d, w3d, dropout=False):
     prior = PosePriorNetwork(variant)
 
     def loss_fn(params, batch, key):
@@ -59,8 +59,11 @@ def make_joint_loss(variant, w2d, w3d):
             # parity resolution is already 32 (crop 256 / 8); smaller smoke
             # crops are resized so the FC tower shapes stay valid
             scoremap = resize_bilinear(scoremap, (SCOREMAP_SIZE, SCOREMAP_SIZE))
+        # dropout defaults OFF: the reference's executed lifting training
+        # never activates it (training_lifting.py:54-56 leaves the
+        # evaluation placeholder at its default True; general.py:139-148)
         lift = prior.apply(
-            params, scoremap, batch["hand_side"], train=True, key=k3d
+            params, scoremap, batch["hand_side"], train=dropout, key=k3d
         )
         l3d = lifting_loss(variant, lift, batch)
         return w2d * l2d + w3d * l3d
@@ -73,6 +76,12 @@ def main():
     p.set_defaults(batch_size=8)
     add_weights_arg(p)
     p.add_argument("--variant", choices=VARIANTS, default="proposed")
+    p.add_argument("--dropout", action="store_true",
+                   help="Enable the lifting FC towers' dropout during "
+                        "training. OFF by default because the reference's "
+                        "executed training graph never activates it "
+                        "(training_lifting.py:54-56 leaves the evaluation "
+                        "placeholder at its default True).")
     p.add_argument("--data", default=None, help="Path to rhd_training.bin")
     p.add_argument("--max-iter", type=int, default=40000)
     p.add_argument("--lr", type=float, nargs="+", default=[1e-5, 1e-6])
@@ -129,7 +138,8 @@ def main():
     pipeline = InputPipeline(dataset, cfg, args.batch_size, seed=args.seed,
                              sharding=sharding, yield_raw=args.fused)
 
-    loss_fn, prior = make_joint_loss(args.variant, args.w2d, args.w3d)
+    loss_fn, prior = make_joint_loss(args.variant, args.w2d, args.w3d,
+                                     dropout=args.dropout)
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(args.seed))
     params = {posenet.SCOPE: posenet.init(k1)}

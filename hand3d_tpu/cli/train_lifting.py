@@ -34,6 +34,12 @@ def main():
     p.set_defaults(batch_size=8)
     add_weights_arg(p)
     p.add_argument("--variant", choices=VARIANTS, default="proposed")
+    p.add_argument("--dropout", action="store_true",
+                   help="Enable the FC towers' dropout during training. OFF "
+                        "by default because the reference's executed "
+                        "training graph never activates it (the evaluation "
+                        "placeholder defaults True and training_lifting.py "
+                        "never feeds it).")
     p.add_argument("--data", default=None, help="Path to rhd_training.bin")
     p.add_argument("--max-iter", type=int, default=80000)
     p.add_argument("--lr", type=float, nargs="+", default=[1e-5, 1e-6])
@@ -90,8 +96,15 @@ def main():
                 params[scope].update(loaded[scope])
 
     def loss_fn(params, batch, key):
+        # Default train=False: the reference trains lifting with dropout
+        # DISABLED — training_lifting.py builds
+        # `evaluation = placeholder_with_default(True)` and its sess.run
+        # loop never feeds it (:54-56, :89-95), so ops.dropout
+        # (general.py:139-148) always takes the keep-everything branch.
+        # --dropout opts back into the layers' stated keep-probs.
         out = net.apply(
-            params, batch["scoremap"], batch["hand_side"], train=True, key=key
+            params, batch["scoremap"], batch["hand_side"],
+            train=args.dropout, key=key
         )
         return lifting_loss(args.variant, out, batch)
 

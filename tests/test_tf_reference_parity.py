@@ -423,3 +423,306 @@ def test_tf_written_checkpoint_roundtrip(oracle, tmp_path):
     assert set(ref_vals) == set(mine)
     for k in mine:
         np.testing.assert_array_equal(mine[k], ref_vals[k], err_msg=k)
+
+
+# --------------------------------------------------------------------------
+# Training-graph parity: the reference's LOSSES, LR schedule and one full
+# Adam step, executed via TF (training_posenet.py:46-69,
+# training_handsegnet.py:44-60, training_lifting.py:49-77).
+# --------------------------------------------------------------------------
+
+
+def test_posenet_training_loss(oracle, jnp_cpu):
+    """Visibility-weighted scoremap loss incl. the per-head resize_images
+    upsample (training_posenet.py:57-61) vs train/losses.py. Exercises
+    mixed-resolution heads and rows with zero visible keypoints."""
+    import jax
+
+    from hand3d_tpu.train.losses import posenet_scoremap_loss
+
+    rng = np.random.RandomState(2)
+    gt = rng.rand(3, 64, 64, 21).astype(np.float32)
+    preds = [rng.rand(3, 8, 8, 21).astype(np.float32),
+             rng.rand(3, 8, 8, 21).astype(np.float32),
+             rng.rand(3, 64, 64, 21).astype(np.float32)]
+    vis = (rng.rand(3, 21) > 0.3).astype(np.float32)
+    vis[1] = 0.0  # a sample with nothing visible
+
+    def build(ref, phs):
+        tf1 = ref.tf1
+        s = phs["scoremap"].get_shape().as_list()
+        heads = [tf1.image.resize_images(phs[f"pred{i}"], (s[1], s[2]))
+                 for i in range(3)]
+        v = tf1.cast(tf1.reshape(phs["vis"], [s[0], s[3]]), tf1.float32)
+        loss = 0.0
+        for pred_item in heads:
+            loss += tf1.reduce_sum(
+                v * tf1.sqrt(tf1.reduce_mean(
+                    tf1.square(pred_item - phs["scoremap"]), [1, 2]))
+            ) / (tf1.reduce_sum(v) + 0.001)
+        return loss
+
+    ref_loss = oracle.run_tf(build, {
+        "scoremap": gt, "vis": vis,
+        "pred0": preds[0], "pred1": preds[1], "pred2": preds[2]})
+    mine = jax.jit(posenet_scoremap_loss)(preds, gt, vis)
+    np.testing.assert_allclose(float(mine), float(ref_loss), rtol=1e-5)
+
+
+def test_handsegnet_training_loss(oracle, jnp_cpu):
+    """Mean softmax CE (training_handsegnet.py:55-60) vs train/losses.py.
+
+    The reference's loop body reshapes the WHOLE prediction list each
+    iteration (`tf.reshape(hand_mask_pred, ...)`), which only type-checks
+    because inference_detection returns a single head — for that executed
+    length-1 surface the packed list equals the head itself, and that is
+    the semantics handsegnet_loss mirrors."""
+    import jax
+
+    from hand3d_tpu.train.losses import handsegnet_loss
+
+    rng = np.random.RandomState(4)
+    logits = (rng.randn(2, 32, 32, 2) * 3).astype(np.float32)
+    mask = np.eye(2, dtype=np.float32)[rng.randint(0, 2, (2, 32, 32))]
+
+    def build(ref, phs):
+        tf1 = ref.tf1
+        pred_list = [phs["logits"]]
+        s = phs["mask"].get_shape().as_list()
+        loss = 0.0
+        for _pred_item in pred_list:
+            gt = tf1.reshape(phs["mask"], [s[0] * s[1] * s[2], -1])
+            pred = tf1.reshape(pred_list, [s[0] * s[1] * s[2], -1])
+            loss += tf1.reduce_mean(tf1.nn.softmax_cross_entropy_with_logits(
+                logits=pred, labels=gt))
+        return loss
+
+    ref_loss = oracle.run_tf(build, {"logits": logits, "mask": mask})
+    mine = jax.jit(handsegnet_loss)([logits], mask)
+    np.testing.assert_allclose(float(mine), float(ref_loss), rtol=1e-6)
+
+
+@pytest.mark.parametrize("variant", ["direct", "bottleneck", "local",
+                                     "local_w_xyz_loss", "proposed"])
+def test_lifting_training_loss(oracle, jnp_cpu, variant):
+    """Per-variant lifting losses (training_lifting.py:63-77), including the
+    bone_rel_trafo_inv round-trip inside local_w_xyz_loss, vs
+    train/losses.lifting_loss on identical random predictions/targets."""
+    import jax
+
+    from hand3d_tpu.models.poseprior import LiftingOutput
+    from hand3d_tpu.train.losses import lifting_loss
+
+    rng = np.random.RandomState(6)
+    coord3d = rng.randn(2, 21, 3).astype(np.float32)
+    rot = rng.randn(2, 3, 3).astype(np.float32)
+    batch = {
+        "keypoint_xyz21_normed": rng.randn(2, 21, 3).astype(np.float32),
+        "keypoint_xyz21_local": rng.randn(2, 21, 3).astype(np.float32),
+        "keypoint_xyz21_can": rng.randn(2, 21, 3).astype(np.float32),
+        "rot_mat": rng.randn(2, 3, 3).astype(np.float32),
+    }
+
+    def build(ref, phs):
+        tf1 = ref.tf1
+        c3d = phs["coord3d"]
+        if variant in ("direct", "bottleneck"):
+            return tf1.reduce_mean(tf1.square(c3d - phs["normed"]))
+        if variant == "local":
+            return tf1.reduce_mean(tf1.square(c3d - phs["local"]))
+        if variant == "local_w_xyz_loss":
+            xyz = ref.relative.bone_rel_trafo_inv(c3d)
+            return tf1.reduce_mean(tf1.square(xyz - phs["normed"]))
+        loss = tf1.reduce_mean(tf1.square(c3d - phs["can"]))
+        return loss + tf1.reduce_mean(tf1.square(phs["rot"] - phs["rot_mat"]))
+
+    ref_loss = oracle.run_tf(build, {
+        "coord3d": coord3d, "rot": rot,
+        "normed": batch["keypoint_xyz21_normed"],
+        "local": batch["keypoint_xyz21_local"],
+        "can": batch["keypoint_xyz21_can"],
+        "rot_mat": batch["rot_mat"]})
+    mine = jax.jit(lambda o, b: lifting_loss(variant, o, b))(
+        LiftingOutput(coord3d, coord3d, rot), batch)
+    np.testing.assert_allclose(float(mine), float(ref_loss), rtol=1e-5)
+
+
+def test_lr_scheduler_vs_reference(oracle):
+    """train/schedule.piecewise_constant vs LearningRateScheduler
+    (general.py:480-519) executed at the boundaries.
+
+    The reference's 1-value and n>=3-value branches use `>= step` semantics
+    (the surface its training scripts execute: 3 values each) and ours
+    matches them exactly. Its 2-value branch is internally INCONSISTENT with
+    the others — `tf.greater` instead of `>=`, so at global_step == steps[0]
+    it still returns values[0] one step longer; we pin that quirk here
+    rather than copy it."""
+    from hand3d_tpu.train.schedule import piecewise_constant
+
+    # the executed surface: 3 values (training_posenet.py:29-31)
+    values, steps = [1e-4, 1e-5, 1e-6], [10000, 20000]
+    query = [0, 1, 9999, 10000, 10001, 15000, 19999, 20000, 20001, 50000]
+    ref_lrs = oracle.reference_lr_schedule(values, steps, query)
+    sched = piecewise_constant(steps, values)
+    for q, r in zip(query, ref_lrs):
+        np.testing.assert_allclose(float(sched(q)), r, rtol=1e-6,
+                                   err_msg=f"step {q}")
+
+    # 1 value: constant
+    ref_lrs = oracle.reference_lr_schedule([3e-5], [], [0, 7, 99999])
+    sched = piecewise_constant([], [3e-5])
+    for q, r in zip([0, 7, 99999], ref_lrs):
+        np.testing.assert_allclose(float(sched(q)), r, rtol=1e-6)
+
+    # 2 values: the reference flips one step LATER (greater vs >=)
+    ref_lrs = oracle.reference_lr_schedule([1e-4, 1e-5], [100],
+                                           [99, 100, 101])
+    sched = piecewise_constant([100], [1e-4, 1e-5])
+    np.testing.assert_allclose(ref_lrs, [1e-4, 1e-4, 1e-5], rtol=1e-6)
+    np.testing.assert_allclose(
+        [float(sched(q)) for q in [99, 100, 101]],
+        [1e-4, 1e-5, 1e-5], rtol=1e-6)
+
+
+def _train_step_inputs(stage, variant):
+    rng = np.random.RandomState(9)
+    if stage == "posenet":
+        return {
+            "image_crop": (rng.rand(2, 64, 64, 3) - 0.5).astype(np.float32),
+            "scoremap": rng.rand(2, 64, 64, 21).astype(np.float32),
+            "keypoint_vis21": (rng.rand(2, 21) > 0.3).astype(np.float32),
+        }
+    if stage == "handsegnet":
+        return {
+            "image": (rng.rand(2, 64, 64, 3) - 0.5).astype(np.float32),
+            "hand_mask": np.eye(2, dtype=np.float32)[
+                rng.randint(0, 2, (2, 64, 64))],
+        }
+    inputs = {
+        "scoremap": rng.rand(2, 256, 256, 21).astype(np.float32),
+        "hand_side": np.asarray([[1.0, 0.0], [0.0, 1.0]], np.float32),
+        "keypoint_xyz21_normed": rng.randn(2, 21, 3).astype(np.float32),
+    }
+    if variant == "proposed":
+        inputs["keypoint_xyz21_can"] = rng.randn(2, 21, 3).astype(np.float32)
+        inputs["rot_mat"] = rng.randn(2, 3, 3).astype(np.float32)
+    return inputs
+
+
+@pytest.mark.parametrize("stage,variant", [
+    ("posenet", None),
+    ("handsegnet", None),
+    ("lifting", "proposed"),
+    ("lifting", "local_w_xyz_loss"),
+])
+def test_train_step_vs_reference(oracle, jnp_cpu, stage, variant):
+    """ONE full training step against the reference's executed graph: same
+    weights and batch into both stacks, assert (a) loss, (b) every
+    trainable-variable gradient, (c) the Adam-updated parameters.
+
+    The reference trains lifting with dropout DISABLED — training_lifting.py
+    builds `evaluation = placeholder_with_default(True)` and never feeds it
+    (:54-56, :89-95), and ops.dropout keeps everything when evaluation is
+    True (general.py:139-148) — so the JAX side runs train=False (dropout
+    off) to match the reference's executed semantics.
+
+    (c) carries an analytic tolerance: tf.train.AdamOptimizer folds the
+    bias corrections into the step size (update = lr*sqrt(1-b2^t)/(1-b1^t)
+    * m/(sqrt(v)+eps)), while optax.adam regularizes the bias-CORRECTED
+    denominator (m_hat/(sqrt(v_hat)+eps)). At step 1 the two differ by at
+    most lr * (eps/sqrt(1-b2) - eps) / (|g| + eps/sqrt(1-b2)) elementwise —
+    only tiny-|g| entries feel it, and both updates vanish there."""
+    import jax
+    import optax
+
+    from hand3d_tpu.weights.convert import flat_to_tree, tree_to_flat
+
+    lr = 1e-4
+    inputs = _train_step_inputs(stage, variant)
+    ref = oracle.reference_train_step(stage, inputs, lr,
+                                      variant=variant or "proposed")
+    tree = flat_to_tree(ref["vars0"])
+
+    if stage == "posenet":
+        from hand3d_tpu.models import posenet
+        from hand3d_tpu.train.losses import posenet_scoremap_loss
+
+        def loss_fn(tree):
+            preds = posenet.apply(tree[posenet.SCOPE], inputs["image_crop"])
+            return posenet_scoremap_loss(
+                preds, inputs["scoremap"], inputs["keypoint_vis21"])
+    elif stage == "handsegnet":
+        from hand3d_tpu.models import handsegnet
+        from hand3d_tpu.train.losses import handsegnet_loss
+
+        def loss_fn(tree):
+            logits = handsegnet.apply(tree[handsegnet.SCOPE], inputs["image"])
+            return handsegnet_loss(logits, inputs["hand_mask"])
+    else:
+        from hand3d_tpu.models.poseprior import PosePriorNetwork
+        from hand3d_tpu.train.losses import lifting_loss
+
+        net = PosePriorNetwork(variant)
+
+        def loss_fn(tree):
+            out = net.apply(tree, inputs["scoremap"], inputs["hand_side"],
+                            train=False)
+            return lifting_loss(variant, out, inputs)
+
+    loss_j, grads = jax.jit(jax.value_and_grad(loss_fn))(tree)
+    np.testing.assert_allclose(float(loss_j), ref["loss"], rtol=1e-5)
+
+    flat_g = tree_to_flat(jax.device_get(grads))
+    assert set(flat_g) == set(ref["grads"])
+    # Absolute tolerance is relative to the NETWORK-WIDE gradient scale, and
+    # its floor is set by leaky-relu MASK FLIPS, not accumulation rounding.
+    # Probed (posenet, this exact seed): TF's grads are bit-identical across
+    # threading configs and our jit-vs-eager self-noise is 2.7e-7 of scale,
+    # yet at random init each refiner layer holds 250-600 pre-activations
+    # within 1e-5 of zero — the two stacks' f32 conv forwards land those on
+    # opposite sides of 0, flipping that element's backward factor between
+    # 1.0 and 0.01 (tf.maximum(x, 0.01x) semantics in both). A flip shows
+    # up as an ISOLATED absolute diff equal to that element's upstream
+    # contribution (observed: 1 element of conv7_2/biases off by 7.4e-5
+    # while its 127 neighbours agree to 1e-7), so the assertion caps the
+    # count and magnitude of such outliers instead of loosening the
+    # everywhere-else tolerance.
+    g_scale = max(np.abs(g).max() for g in ref["grads"].values())
+    grad_atol = 1e-3 * g_scale
+    flip_outliers = 0
+    for name, g_ref in sorted(ref["grads"].items()):
+        diff = np.abs(flat_g[name] - g_ref)
+        bad = diff > (grad_atol + 1e-3 * np.abs(g_ref))
+        # Isolated flips move around between runs (TF's oneDNN primitives
+        # reassociate differently run to run), so cap their COUNT and
+        # MAGNITUDE instead of inflating the blanket tolerance: each flip's
+        # contribution is one upstream element, observed ≤7.4e-5 (1.3e-3 of
+        # scale) — 5e-3 of scale bounds it with margin.
+        assert bad.sum() <= 4, (
+            f"grad {name}: {bad.sum()} elements beyond tolerance "
+            f"(max diff {diff.max():.3e}, scale {g_scale:.3e})")
+        flip_outliers += int(bad.sum())
+        if bad.any():
+            assert diff[bad].max() <= 5e-3 * g_scale, (
+                f"grad {name}: outlier {diff[bad].max():.3e} exceeds the "
+                f"single-mask-flip bound {5e-3 * g_scale:.3e}")
+    assert flip_outliers <= 12, f"{flip_outliers} flip outliers across tree"
+
+    opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    updates, _ = opt.update(grads, opt.init(tree), tree)
+    flat_new = tree_to_flat(
+        jax.device_get(optax.apply_updates(tree, updates)))
+    eps_tf = 1e-8 / np.sqrt(1.0 - 0.999)  # TF's effective eps at step 1
+    for name in sorted(ref["vars1"]):
+        d_ref = ref["vars1"][name] - ref["vars0"][name]
+        d_j = flat_new[name] - ref["vars0"][name]
+        g = np.abs(ref["grads"][name])
+        # At step 1 the Adam update is ~lr*sign(g); entries whose |grad| is
+        # below the mask-flip floor (grad_atol above) can legitimately flip
+        # SIGN between the stacks, moving the update by up to 2*lr — allow
+        # that only for those entries, bound everything else analytically.
+        bound = lr * (eps_tf - 1e-8) / (g + eps_tf) + 5e-3 * np.abs(d_ref) \
+            + np.where(g < grad_atol, 2.2 * lr, 0.0) + 1e-11
+        err = np.abs(d_j - d_ref)
+        assert (err <= bound).all(), (
+            f"{name}: max excess {(err - bound).max():.3e}")

@@ -419,6 +419,142 @@ def reference_load_weights_from_snapshot(checkpoint_path, var_shapes,
             return {v.op.name: np.asarray(sess.run(v)) for v in var_list}
 
 
+def reference_lr_schedule(values, steps, query_steps):
+    """Evaluate the reference's LearningRateScheduler (general.py:480-519).
+
+    Returns the lr at each query step. Note the training scripts never pass
+    ``global_step`` to ``opt.minimize`` (training_posenet.py:66-69), so the
+    reference actually trains at values[0] forever; this helper exists to
+    pin the schedule GRAPH's semantics (including its boundary comparisons)
+    against hand3d_tpu.train.schedule.piecewise_constant.
+    """
+    ref = import_reference()
+    tf1 = ref.tf1
+    graph = tf1.Graph()
+    with graph.as_default():
+        step_ph = tf1.placeholder(tf1.int64, [])
+        sched = ref.general.LearningRateScheduler(values=values, steps=steps)
+        lr = sched.get_lr(step_ph)
+        with tf1.Session(graph=graph) as sess:
+            return [float(sess.run(lr, {step_ph: s})) for s in query_steps]
+
+
+def reference_train_step(stage, inputs, lr, variant="proposed", seed=0):
+    """Build a reference stage TRAINING graph and run ONE Adam step on CPU.
+
+    Replicates the loss + optimizer wiring of the reference's training
+    scripts exactly:
+
+      * stage="posenet": training_posenet.py:46-69 — inference_pose2d,
+        per-head resize_images to GT scoremap size, visibility-weighted
+        sqrt-of-mean-square loss normalized by (sum(vis)+0.001).
+      * stage="handsegnet": training_handsegnet.py:44-60 —
+        inference_detection, mean softmax cross-entropy against the 2-class
+        mask (including the loop's pack-the-whole-list reshape, which for
+        the actual single-head list equals the head itself).
+      * stage="lifting": training_lifting.py:49-77 — PosePriorNetwork
+        ``variant`` with the ``evaluation`` placeholder left at its default
+        True, exactly as the reference runs it (sess.run never feeds it, so
+        the reference trains lifting with dropout DISABLED).
+
+    Args:
+      stage: "posenet" | "handsegnet" | "lifting".
+      inputs: dict of numpy feeds —
+        posenet: image_crop [B,H,W,3], scoremap [B,Hs,Ws,21],
+          keypoint_vis21 [B,21] (0/1 float);
+        handsegnet: image [B,H,W,3], hand_mask [B,H,W,2] (0/1 float);
+        lifting: scoremap [B,256,256,21], hand_side [B,2], plus the
+          variant's target(s) (keypoint_xyz21_normed / _local / _can,
+          rot_mat).
+      lr: scalar learning rate (the scheduler output at step 0; the
+        reference's AdamOptimizer sees a constant because global_step is
+        never advanced).
+    Returns:
+      dict with loss (float), grads {var_name: ndarray} for every trainable
+      variable, vars0 {name: ndarray} at init (push through flat_to_tree to
+      run the same step in JAX), vars1 {name: ndarray} after one step.
+    """
+    ref = import_reference()
+    tf1 = ref.tf1
+    graph = tf1.Graph()
+    with graph.as_default():
+        tf1.set_random_seed(seed)
+        phs = {k: tf1.placeholder(tf1.float32, np.asarray(v).shape)
+               for k, v in inputs.items()}
+
+        if stage == "posenet":
+            net = ref.cascade_mod.ColorHandPose3DNetwork()
+            preds = net.inference_pose2d(phs["image_crop"], train=True)
+            s = phs["scoremap"].get_shape().as_list()
+            preds = [tf1.image.resize_images(x, (s[1], s[2])) for x in preds]
+            vis = tf1.cast(
+                tf1.reshape(phs["keypoint_vis21"], [s[0], s[3]]), tf1.float32)
+            loss = 0.0
+            for pred_item in preds:
+                loss += tf1.reduce_sum(
+                    vis * tf1.sqrt(tf1.reduce_mean(
+                        tf1.square(pred_item - phs["scoremap"]), [1, 2]))
+                ) / (tf1.reduce_sum(vis) + 0.001)
+        elif stage == "handsegnet":
+            net = ref.cascade_mod.ColorHandPose3DNetwork()
+            pred_list = net.inference_detection(phs["image"], train=True)
+            s = phs["hand_mask"].get_shape().as_list()
+            loss = 0.0
+            for _pred_item in pred_list:
+                gt = tf1.reshape(phs["hand_mask"], [s[0] * s[1] * s[2], -1])
+                pred = tf1.reshape(pred_list, [s[0] * s[1] * s[2], -1])
+                loss += tf1.reduce_mean(
+                    tf1.nn.softmax_cross_entropy_with_logits(
+                        logits=pred, labels=gt))
+        elif stage == "lifting":
+            evaluation = tf1.placeholder_with_default(True, shape=())
+            net = ref.poseprior_mod.PosePriorNetwork(variant)
+            _, coord3d_pred, R = net.inference(
+                phs["scoremap"], phs["hand_side"], evaluation)
+            if variant in ("direct", "bottleneck"):
+                loss = tf1.reduce_mean(
+                    tf1.square(coord3d_pred - phs["keypoint_xyz21_normed"]))
+            elif variant == "local":
+                loss = tf1.reduce_mean(
+                    tf1.square(coord3d_pred - phs["keypoint_xyz21_local"]))
+            elif variant == "local_w_xyz_loss":
+                coord3d_pred_xyz = ref.relative.bone_rel_trafo_inv(coord3d_pred)
+                loss = tf1.reduce_mean(
+                    tf1.square(coord3d_pred_xyz
+                               - phs["keypoint_xyz21_normed"]))
+            elif variant == "proposed":
+                loss = tf1.reduce_mean(
+                    tf1.square(coord3d_pred - phs["keypoint_xyz21_can"]))
+                loss += tf1.reduce_mean(tf1.square(R - phs["rot_mat"]))
+            else:
+                raise ValueError(f"unknown variant {variant!r}")
+        else:
+            raise ValueError(f"unknown stage {stage!r}")
+
+        opt = tf1.train.AdamOptimizer(lr)
+        train_op = opt.minimize(loss)
+        tvars = tf1.trainable_variables()
+        grads = tf1.gradients(loss, tvars)
+        # model variables = everything that is not an optimizer slot
+        slot_names = {"Adam", "Adam_1", "beta1_power", "beta2_power"}
+        model_vars = [v for v in tf1.global_variables()
+                      if v.op.name.split("/")[-1] not in slot_names]
+        feed = {phs[k]: np.asarray(v, np.float32) for k, v in inputs.items()}
+        with tf1.Session(graph=graph) as sess:
+            sess.run(tf1.global_variables_initializer())
+            vars0 = {v.op.name: np.asarray(sess.run(v)) for v in model_vars}
+            loss_v, grads_v = sess.run([loss, grads], feed)
+            sess.run(train_op, feed)
+            vars1 = {v.op.name: np.asarray(sess.run(v)) for v in model_vars}
+    return {
+        "loss": float(loss_v),
+        "grads": {v.op.name: np.asarray(g)
+                  for v, g in zip(tvars, grads_v)},
+        "vars0": vars0,
+        "vars1": vars1,
+    }
+
+
 def save_tf_checkpoint(path, flat_vars):
     """Write {name: ndarray} as a real TF V2 checkpoint via tf1.train.Saver —
     ground-truth input for the TF-free parser (weights/tf_ckpt.py)."""
