@@ -98,6 +98,9 @@ def main():
     ap.add_argument("--seg-scale", type=float, default=1.0)
     ap.add_argument("--int8", action="store_true",
                     help="int8 rate for cin>=128 layers (quant default)")
+    ap.add_argument("--int8-scope", default=None, choices=["handsegnet"],
+                    help="with --int8: apply the int8 rate only to this "
+                         "stage (the drift-free quantize_scope preset)")
     ap.add_argument("--glue-ms", type=float, default=0.0,
                     help="measured non-conv glue ms/frame (floodfill + crop"
                          " + resizes + decode) from tools/profile_stages.py;"
@@ -120,8 +123,11 @@ def main():
           f"{'bound':>12}")
     for stage, layers in stages.items():
         st, sf, n_bw = 0.0, 0.0, 0
+        stage_int8 = args.int8 and (
+            args.int8_scope is None or
+            (args.int8_scope == "handsegnet" and stage == "HandSegNet"))
         for name, h, w, k, cin, cout in layers:
-            rate = R_INT8 if args.int8 and cin >= 128 else R_WIDE
+            rate = R_INT8 if stage_int8 and cin >= 128 else R_WIDE
             f, t, bw_bound = conv_cost(h, w, k, cin, cout, rate)
             # batch amortizes weight reloads; activations scale with batch
             st += t
