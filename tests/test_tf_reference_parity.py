@@ -726,3 +726,85 @@ def test_train_step_vs_reference(oracle, jnp_cpu, stage, variant):
         err = np.abs(d_j - d_ref)
         assert (err <= bound).all(), (
             f"{name}: max excess {(err - bound).max():.3e}")
+
+
+def test_reference_pickle_init_path(oracle, jnp_cpu, ref_cascade, tmp_path):
+    """The reference's OWN pickle loader executed vs convert_reference_pickles.
+
+    Synthesizes a two-pickle weight set shaped exactly like the shipped
+    handsegnet-rhd / posenet3d-* pair (keys = graph variable op names),
+    including a cross-file name collision and an excluded-substring family,
+    pushes it through ``ColorHandPose3DNetwork.init``
+    (ColorHandPose3DNetwork.py:34-59) for real, and asserts (a) the loader
+    semantics match — last file wins on collisions, excluded names keep
+    their random init — and (b) the same pickles through
+    weights/convert.convert_reference_pickles drive the JAX cascade to the
+    reference's outputs."""
+    import pickle
+
+    import jax
+
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+    from hand3d_tpu.weights.convert import (convert_reference_pickles,
+                                            flat_to_tree, tree_to_flat)
+
+    image, hand_side, _, flat0 = ref_cascade
+    rng = np.random.RandomState(33)
+
+    def fresh(shape):
+        # glorot-scaled so activations stay in the regime the cascade
+        # test's 1e-5 absolute tolerances were set for (flat-std weights
+        # inflate deep activations ~80x and with them the f32 noise floor)
+        if len(shape) == 4:
+            fan_in, fan_out = (np.prod(shape[:3]),
+                               shape[0] * shape[1] * shape[3])
+        elif len(shape) == 2:
+            fan_in, fan_out = shape
+        else:
+            fan_in = fan_out = max(int(shape[0]) if shape else 1, 1)
+        std = np.sqrt(2.0 / (fan_in + fan_out))
+        return (rng.randn(*shape) * std).astype(np.float32)
+
+    seg = {k: fresh(v.shape) for k, v in flat0.items()
+           if k.startswith("HandSegNet/")}
+    rest = {k: fresh(v.shape) for k, v in flat0.items()
+            if not k.startswith("HandSegNet/")}
+    collide = "HandSegNet/conv1_1/weights"
+    rest[collide] = fresh(flat0[collide].shape)  # later file must win
+    exclude = ["fc_vp_u"]  # the three viewpoint heads stay at random init
+    excluded_names = [k for k in flat0 if "fc_vp_u" in k]
+    assert len(excluded_names) == 6  # ux/uy/uz weights+biases
+
+    p1, p2 = str(tmp_path / "seg.pickle"), str(tmp_path / "pose.pickle")
+    with open(p1, "wb") as f:
+        pickle.dump(seg, f)
+    with open(p2, "wb") as f:
+        pickle.dump(rest, f)
+
+    ref_outs, ref_vars = oracle.reference_cascade_from_pickles(
+        image, hand_side, [p1, p2], exclude_var_list=exclude)
+
+    # (a) loader semantics, from the executed reference
+    np.testing.assert_array_equal(ref_vars[collide], rest[collide])
+    for k in excluded_names:  # untouched by init => random, not our values
+        assert not np.array_equal(ref_vars[k], rest[k]), k
+
+    flat_mine = tree_to_flat(
+        convert_reference_pickles([p1, p2], exclude_var_list=exclude))
+    assert set(flat_mine) == set(ref_vars) - set(excluded_names)
+    for k, v in flat_mine.items():
+        np.testing.assert_array_equal(v, ref_vars[k], err_msg=k)
+
+    # (b) run the SAME effective weights (excluded vars adopt the
+    # reference's random init, as a user warm-starting would re-init them)
+    for k in excluded_names:
+        flat_mine[k] = ref_vars[k]
+    model = ColorHandPose3D()
+    out = jax.jit(model.inference)(flat_to_tree(flat_mine), image, hand_side)
+    tol = {"hand_scoremap": 1e-5, "image_crop": 1e-3, "scale_crop": 1e-5,
+           "center": 1e-4, "keypoints_scoremap": 1e-5,
+           "keypoint_coord3d": 1e-5}
+    for name, atol in tol.items():
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name)), ref_outs[name], atol=atol,
+            err_msg=name)

@@ -419,6 +419,40 @@ def reference_load_weights_from_snapshot(checkpoint_path, var_shapes,
             return {v.op.name: np.asarray(sess.run(v)) for v in var_list}
 
 
+def reference_cascade_from_pickles(image, hand_side, weight_files,
+                                   exclude_var_list=None, seed=0):
+    """Run the cascade with weights loaded by the REFERENCE'S OWN net.init.
+
+    Builds the full cascade graph, random-initializes, then calls
+    ``ColorHandPose3DNetwork.init(sess, weight_files, exclude_var_list)``
+    (ColorHandPose3DNetwork.py:34-59) — the exact code path the shipped
+    handsegnet-rhd / posenet3d-* pickles go through — and fetches the six
+    outputs plus every variable's post-init value. Ground truth for
+    weights/convert.convert_reference_pickles (same substring-exclude and
+    last-file-wins override semantics).
+    """
+    ref = import_reference()
+    tf1 = ref.tf1
+    graph = tf1.Graph()
+    with graph.as_default():
+        tf1.set_random_seed(seed)
+        image_ph = tf1.placeholder(tf1.float32, image.shape)
+        side_ph = tf1.placeholder(tf1.float32, hand_side.shape)
+        eval_ph = tf1.placeholder_with_default(True, [])
+        net = ref.cascade_mod.ColorHandPose3DNetwork()
+        fetches = net.inference(image_ph, side_ph, eval_ph)
+        init = tf1.global_variables_initializer()
+        var_list = tf1.global_variables()
+        with tf1.Session(graph=graph) as sess:
+            sess.run(init)
+            net.init(sess, weight_files, exclude_var_list)
+            flat_vars = {v.op.name: np.asarray(sess.run(v)) for v in var_list}
+            outs = sess.run(fetches, {image_ph: image, side_ph: hand_side})
+    names = ["hand_scoremap", "image_crop", "scale_crop", "center",
+             "keypoints_scoremap", "keypoint_coord3d"]
+    return dict(zip(names, [np.asarray(o) for o in outs])), flat_vars
+
+
 def reference_lr_schedule(values, steps, query_steps):
     """Evaluate the reference's LearningRateScheduler (general.py:480-519).
 
