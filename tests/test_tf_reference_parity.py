@@ -14,6 +14,13 @@ in this container, so these tests run the reference's own graphs
   * EvalUtil / calc_auc (utils/general.py:522-611, :654-675)
   * checkpoints written by tf1.train.Saver through the TF-free parser and
     the reference's load_weights_from_snapshot (general.py:614-651)
+  * the TRAINING graphs: stage losses, LearningRateScheduler, and one full
+    Adam train step per stage (training_{posenet,handsegnet,lifting}.py)
+  * the pickle loader: ColorHandPose3DNetwork.init executed on a synthetic
+    shipped-shaped weight set (ColorHandPose3DNetwork.py:34-59)
+  * byte-level data compatibility: the reference's queue pipeline
+    (FixedLengthRecordReader + decode_raw) consumes a .bin file written by
+    OUR tools and decodes the exact arrays we encoded
 
 Slow (TF graph builds): deselect with -m 'not slow'. Skipped automatically
 where tensorflow is not installed.
@@ -808,3 +815,47 @@ def test_reference_pickle_init_path(oracle, jnp_cpu, ref_cascade, tmp_path):
         np.testing.assert_allclose(
             np.asarray(getattr(out, name)), ref_outs[name], atol=atol,
             err_msg=name)
+
+
+def test_reference_reader_consumes_our_bin(oracle, tmp_path):
+    """The reference's OWN queue pipeline reads a .bin WE wrote.
+
+    tools/create_binary_db.py's byte layout (data/codec.py) was previously
+    validated by round-tripping through our own reader; here the file is fed
+    to the reference's FixedLengthRecordReader + decode_raw graph
+    (data/BinaryDbReader.py:101-211) and every decoded field must equal the
+    codec's view of the same records — byte-level cross-stack compatibility
+    in the direction that matters for drop-in replacement (a reference user
+    can consume databases produced by this repo's tools)."""
+    from fixtures import make_rhd_bin
+
+    from hand3d_tpu.data.codec import RHD_RECORD_DTYPE, FixedLenRecordFile
+
+    bin_path = str(tmp_path / "ours.bin")
+    make_rhd_bin(bin_path, num_records=5, seed=3)
+    recs = FixedLenRecordFile(bin_path, RHD_RECORD_DTYPE)
+
+    (batch,) = oracle.reference_read_bin(bin_path, batch_size=4,
+                                         num_batches=1,
+                                         use_wrist_coord=True,
+                                         hand_crop=False)
+    for i in range(4):
+        rec = recs[i]
+        np.testing.assert_array_equal(
+            batch["keypoint_xyz"][i], rec["kp_xyz"], err_msg=f"xyz[{i}]")
+        # the reference truncates uv through int32 on decode (:148-152)
+        np.testing.assert_array_equal(
+            batch["keypoint_uv"][i],
+            rec["kp_uv"].astype(np.int32).astype(np.float32),
+            err_msg=f"uv[{i}]")
+        np.testing.assert_array_equal(
+            batch["cam_mat"][i], rec["cam_mat"], err_msg=f"cam[{i}]")
+        np.testing.assert_allclose(
+            batch["image"][i], rec["image"].astype(np.float32) / 255.0 - 0.5,
+            atol=1e-6, err_msg=f"image[{i}]")
+        np.testing.assert_array_equal(
+            batch["hand_parts"][i], rec["hand_parts"].astype(np.int32),
+            err_msg=f"parts[{i}]")
+        np.testing.assert_array_equal(
+            batch["keypoint_vis"][i], rec["kp_vis"].astype(bool),
+            err_msg=f"vis[{i}]")

@@ -393,6 +393,56 @@ def reference_derived_features(sample, use_wrist_coord=True, hand_crop=False,
     return {k: np.asarray(v) for k, v in zip(keys, outs)}
 
 
+def reference_read_bin(bin_path, batch_size=2, num_batches=1,
+                       **reader_kwargs):
+    """Run the reference's FULL BinaryDbReader queue pipeline on an actual
+    .bin FILE and fetch the first batches in on-disk order.
+
+    This is the byte-compatibility oracle for tools/create_binary_db.py and
+    data/codec.py: the reference's own FixedLengthRecordReader + decode_raw
+    graph (data/BinaryDbReader.py:101-459, queue runners and all) consumes
+    the file our tools wrote. The reader hardcodes './data/bin/
+    rhd_evaluation.bin' (:56-63), so the file is staged into a temp cwd.
+
+    Pass shuffle=False (default here) for deterministic record order.
+    Returns a list of {name: ndarray} batches.
+    """
+    import shutil
+    import tempfile
+
+    ref = import_reference()
+    tf1 = ref.tf1
+    reader_kwargs.setdefault("shuffle", False)
+    workdir = tempfile.mkdtemp(prefix="refbin_")
+    os.makedirs(os.path.join(workdir, "data", "bin"))
+    shutil.copy(bin_path,
+                os.path.join(workdir, "data", "bin", "rhd_evaluation.bin"))
+    old_cwd = os.getcwd()
+    graph = tf1.Graph()
+    try:
+        os.chdir(workdir)
+        with graph.as_default():
+            reader = ref.reader_mod.BinaryDbReader(
+                mode="evaluation", batch_size=batch_size, **reader_kwargs)
+            data = reader.get()
+            with tf1.Session(graph=graph) as sess:
+                sess.run(tf1.global_variables_initializer())
+                sess.run(tf1.local_variables_initializer())
+                coord = tf1.train.Coordinator()
+                threads = tf1.train.start_queue_runners(sess=sess,
+                                                        coord=coord)
+                batches = [
+                    {k: np.asarray(v) for k, v in sess.run(data).items()}
+                    for _ in range(num_batches)
+                ]
+                coord.request_stop()
+                coord.join(threads, stop_grace_period_secs=10)
+    finally:
+        os.chdir(old_cwd)
+        shutil.rmtree(workdir, ignore_errors=True)
+    return batches
+
+
 def reference_load_weights_from_snapshot(checkpoint_path, var_shapes,
                                          discard_list=None, rename_dict=None):
     """Run the reference's load_weights_from_snapshot (general.py:614-651).
