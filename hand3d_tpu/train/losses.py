@@ -34,7 +34,12 @@ def posenet_scoremap_loss(scoremap_preds, scoremap_gt, keypoint_vis):
 def handsegnet_loss(seg_logits_list, hand_mask):
     """Mean softmax cross-entropy over all pixels.
 
-    Mirrors training_handsegnet.py:55-60 (2-class bg/hand mask).
+    Mirrors training_handsegnet.py:55-60 (2-class bg/hand mask). The
+    reference's loop body reshapes the WHOLE prediction list each iteration
+    (`tf.reshape(hand_mask_pred, ...)`), which only type-checks because
+    inference_detection returns one head; for that executed length-1
+    surface the packed list equals the head, which is what the per-item
+    sum here mirrors (reference-executed: test_tf_reference_parity.py).
 
     Args:
       seg_logits_list: list of [B, H, W, 2] logits (already input-size).
