@@ -18,9 +18,10 @@ in this container, so these tests run the reference's own graphs
     Adam train step per stage (training_{posenet,handsegnet,lifting}.py)
   * the pickle loader: ColorHandPose3DNetwork.init executed on a synthetic
     shipped-shaped weight set (ColorHandPose3DNetwork.py:34-59)
-  * byte-level data compatibility: the reference's queue pipeline
-    (FixedLengthRecordReader + decode_raw) consumes a .bin file written by
-    OUR tools and decodes the exact arrays we encoded
+  * byte-level data compatibility: the reference's queue pipelines (RHD
+    BinaryDbReader and STB BinaryDbReaderSTB, FixedLengthRecordReader +
+    decode_raw) consume .bin files written by OUR tools and decode the
+    exact arrays we encoded
 
 Slow (TF graph builds): deselect with -m 'not slow'. Skipped automatically
 where tensorflow is not installed.
@@ -859,3 +860,48 @@ def test_reference_reader_consumes_our_bin(oracle, tmp_path):
         np.testing.assert_array_equal(
             batch["keypoint_vis"][i], rec["kp_vis"].astype(bool),
             err_msg=f"vis[{i}]")
+
+
+def test_reference_stb_reader_consumes_our_bin(oracle, tmp_path):
+    """Same byte-compatibility direction for STB: the reference's
+    BinaryDbReaderSTB queue pipeline (data/BinaryDbReaderSTB.py:84-300)
+    reads an stb_eval.bin written by our codec and decodes the permuted,
+    meter-scaled keypoints and image exactly."""
+    from fixtures import make_stb_bin
+
+    from hand3d_tpu.data.codec import STB_RECORD_DTYPE, FixedLenRecordFile
+    from hand3d_tpu.data.preprocess import STB_KP_PERM
+
+    bin_path = str(tmp_path / "stb_ours.bin")
+    make_stb_bin(bin_path, num_records=4, seed=9)
+    recs = FixedLenRecordFile(bin_path, STB_RECORD_DTYPE)
+    perm = np.asarray(STB_KP_PERM)
+
+    # use_wrist_coord=False keeps the decoded palm keypoint (no wrist
+    # extrapolation), isolating the byte path from derived features
+    (batch,) = oracle.reference_read_bin(bin_path, batch_size=3,
+                                         num_batches=1, dataset="stb",
+                                         use_wrist_coord=False,
+                                         hand_crop=False)
+    for i in range(3):
+        rec = recs[i]
+        # xyz: /1000 to meters, then the reference's keypoint reordering
+        # (BinaryDbReaderSTB.py:128-129, convert_kp :396-409)
+        np.testing.assert_allclose(
+            batch["keypoint_xyz21"][i],
+            rec["kp_xyz"][perm] / 1000.0, rtol=1e-6, err_msg=f"xyz[{i}]")
+        uv_vis = rec["kp_uv_vis"][perm]
+        np.testing.assert_allclose(
+            batch["keypoint_uv21"][i], uv_vis[:, :2], rtol=1e-6,
+            err_msg=f"uv[{i}]")
+        np.testing.assert_array_equal(
+            batch["keypoint_vis21"][i], uv_vis[:, 2] == 1.0,
+            err_msg=f"vis[{i}]")
+        np.testing.assert_allclose(
+            batch["image"][i], rec["image"].astype(np.float32) / 255.0 - 0.5,
+            atol=1e-6, err_msg=f"image[{i}]")
+        # the fixed BB-camera intrinsics constant (:202-208)
+        np.testing.assert_allclose(
+            batch["cam_mat"][i],
+            [[822.79041, 0, 318.47345], [0, 822.79041, 250.31296], [0, 0, 1]],
+            rtol=1e-6)

@@ -393,16 +393,18 @@ def reference_derived_features(sample, use_wrist_coord=True, hand_crop=False,
     return {k: np.asarray(v) for k, v in zip(keys, outs)}
 
 
-def reference_read_bin(bin_path, batch_size=2, num_batches=1,
+def reference_read_bin(bin_path, batch_size=2, num_batches=1, dataset="rhd",
                        **reader_kwargs):
-    """Run the reference's FULL BinaryDbReader queue pipeline on an actual
-    .bin FILE and fetch the first batches in on-disk order.
+    """Run the reference's FULL queue pipeline on an actual .bin FILE and
+    fetch the first batches in on-disk order.
 
-    This is the byte-compatibility oracle for tools/create_binary_db.py and
-    data/codec.py: the reference's own FixedLengthRecordReader + decode_raw
-    graph (data/BinaryDbReader.py:101-459, queue runners and all) consumes
-    the file our tools wrote. The reader hardcodes './data/bin/
-    rhd_evaluation.bin' (:56-63), so the file is staged into a temp cwd.
+    This is the byte-compatibility oracle for tools/create_binary_db.py /
+    create_stb_db.py and data/codec.py: the reference's own
+    FixedLengthRecordReader + decode_raw graph (data/BinaryDbReader.py:
+    101-459 or data/BinaryDbReaderSTB.py:84-300, queue runners and all)
+    consumes the file our tools wrote. The readers hardcode
+    './data/bin/rhd_evaluation.bin' / './data/stb/stb_eval.bin', so the
+    file is staged into a temp cwd.
 
     Pass shuffle=False (default here) for deterministic record order.
     Returns a list of {name: ndarray} batches.
@@ -412,17 +414,23 @@ def reference_read_bin(bin_path, batch_size=2, num_batches=1,
 
     ref = import_reference()
     tf1 = ref.tf1
+    if dataset == "stb":
+        import data.BinaryDbReaderSTB as stb_mod
+        reader_cls = stb_mod.BinaryDbReaderSTB
+        staged = os.path.join("data", "stb", "stb_eval.bin")
+    else:
+        reader_cls = ref.reader_mod.BinaryDbReader
+        staged = os.path.join("data", "bin", "rhd_evaluation.bin")
     reader_kwargs.setdefault("shuffle", False)
     workdir = tempfile.mkdtemp(prefix="refbin_")
-    os.makedirs(os.path.join(workdir, "data", "bin"))
-    shutil.copy(bin_path,
-                os.path.join(workdir, "data", "bin", "rhd_evaluation.bin"))
+    os.makedirs(os.path.dirname(os.path.join(workdir, staged)))
+    shutil.copy(bin_path, os.path.join(workdir, staged))
     old_cwd = os.getcwd()
     graph = tf1.Graph()
     try:
         os.chdir(workdir)
         with graph.as_default():
-            reader = ref.reader_mod.BinaryDbReader(
+            reader = reader_cls(
                 mode="evaluation", batch_size=batch_size, **reader_kwargs)
             data = reader.get()
             with tf1.Session(graph=graph) as sess:
