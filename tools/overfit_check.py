@@ -32,6 +32,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
+# A trainer attempt with less wall than this can't even finish a warm run
+# (warm trainers measure 250-400s); don't start attempts that must time out.
+_MIN_ATTEMPT = 600
+
 
 def _latest_snapshot(snap_dir):
     """Newest snapshot-*.msgpack in a prior run's snapshot dir."""
@@ -166,8 +170,20 @@ def main():
     ap.add_argument("--records", type=int, default=16)
     ap.add_argument("--only", default=None,
                     choices=["handsegnet", "posenet", "lifting", "joint"])
-    ap.add_argument("--timeout", type=int, default=900,
-                    help="Per-trainer wall timeout (compile included)")
+    ap.add_argument("--timeout", type=int, default=1500,
+                    help="Per-trainer wall timeout (compile included). A "
+                         "COLD compile of the big fwd+bwd programs runs "
+                         "~1100s on this host (chip_smoke's measured "
+                         "train_step phase), so 900s only ever passed on "
+                         "warm caches — the round-4 re-run after a trainer "
+                         "program change timed out exactly there.")
+    ap.add_argument("--budget", type=int, default=6600,
+                    help="Total wall budget (s). Per-trainer attempts are "
+                         "clamped to the remainder and the retry-once-on-"
+                         "timeout (tunnel-wedge cure, half-warm cache) is "
+                         "skipped when the remainder can't cover one, so "
+                         "the gate exits WITH evidence instead of being "
+                         "killed as one opaque step TIMEOUT.")
     ap.add_argument("--write-doc", default=None,
                     help="Append a markdown results section to this file")
     ap.add_argument("--keep", default=None,
@@ -189,6 +205,7 @@ def main():
 
     from fixtures import make_rhd_bin
 
+    t_start = time.time()
     results = {}
     with tempfile.TemporaryDirectory() as tmp:
         work = args.keep or tmp
@@ -221,17 +238,38 @@ def main():
             stale_log = os.path.join(work, f"{name}.jsonl")
             if os.path.exists(stale_log):
                 os.unlink(stale_log)
+
+            def _attempt(timeout_s):
+                try:
+                    proc = subprocess.run(
+                        [sys.executable, *argv], capture_output=True,
+                        text=True, timeout=timeout_s, cwd=REPO,
+                    )
+                    return (None if proc.returncode == 0 else
+                            f"rc={proc.returncode}: "
+                            f"{(proc.stderr or '')[-400:]}")
+                except subprocess.TimeoutExpired:
+                    return f"TIMEOUT after {timeout_s}s"
+
+            remaining = args.budget - (time.time() - t_start)
             t0 = time.time()
-            try:
-                proc = subprocess.run(
-                    [sys.executable, *argv], capture_output=True, text=True,
-                    timeout=args.timeout, cwd=REPO,
-                )
-                err = None if proc.returncode == 0 else (
-                    f"rc={proc.returncode}: {(proc.stderr or '')[-400:]}"
-                )
-            except subprocess.TimeoutExpired:
-                err = f"TIMEOUT after {args.timeout}s"
+            if remaining < _MIN_ATTEMPT:
+                err = "not run: wall budget exhausted"
+            else:
+                err = _attempt(min(args.timeout, int(remaining)))
+                remaining = args.budget - (time.time() - t_start)
+                if err and err.startswith("TIMEOUT") \
+                        and remaining >= _MIN_ATTEMPT:
+                    # the axon tunnel occasionally wedges a process forever;
+                    # the documented cure is kill-and-retry-once in a fresh
+                    # process, which also benefits from any compile-cache
+                    # warming the first attempt managed (same policy as
+                    # chip_smoke)
+                    print(f"[overfit_check] {name} timed out; retrying once",
+                          flush=True)
+                    if os.path.exists(stale_log):
+                        os.unlink(stale_log)
+                    err = _attempt(min(args.timeout, int(remaining)))
             dt = time.time() - t0
 
             n_steps = int(argv[argv.index("--max-iter") + 1])

@@ -84,10 +84,13 @@ def _steps(args, work):
         "chip_smoke": ([py, "tools/chip_smoke.py", "--budget", "9000"],
                        9300, {}),
         "bench": ([py, "bench.py"], 1500, {}),
+        # overfit self-bounds to --budget like chip_smoke (per-trainer
+        # attempts clamped to the remainder, retry-once skipped when it
+        # can't fit), so the step timeout only needs startup headroom
         "overfit": (
             [py, "tools/overfit_check.py", "--steps", str(args.overfit_steps),
-             "--keep", overfit_dir],
-            4500, {},
+             "--keep", overfit_dir, "--budget", "6600"],
+            6900, {},
         ),
         "preset": (
             [py, "tools/preset_accuracy.py", "--overfit-dir", overfit_dir],
