@@ -647,6 +647,211 @@ def reference_train_step(stage, inputs, lr, variant="proposed", seed=0):
     }
 
 
+def reference_eval_harness(kind, bin_path, num_samples, variant="direct",
+                           dataset="rhd", seed=0, weight_files=None,
+                           exclude_var_list=None):
+    """Run a reference EVAL SCRIPT's full composition end-to-end on CPU.
+
+    This is the harness-level oracle: everything between a .bin file on
+    disk and the final printed metrics — the reference's own queue reader,
+    network graph, per-sample ``sess.run`` loop, host-side numpy decode
+    (detect_keypoints / trafo_coords), EvalUtil accumulation and the
+    get_measures / subset-AUC math — executed exactly as the script wires
+    it. Diffing these numbers against hand3d_tpu.eval.harnesses on the same
+    .bin + weights proves BASELINE.md rows 1-13 reduce to data acquisition:
+    every computational step from bytes to benchmark number is equal.
+
+    Mirrored scripts (graph + loop, line for line):
+      * kind="eval2d_gt_cropped": eval2d_gt_cropped.py:37-91 (reader
+        hand_crop=True use_wrist_coord=False, inference_pose2d last head
+        upscaled to crop size, EPE fed /crop_scale, thresholds 0-30 px).
+      * kind="eval2d": eval2d.py:44-110 (reader scale_to_size=True,
+        inference2d on the 240x320 resize, detect_keypoints + trafo_coords
+        crop->global, /image-scale, scale2orig_res hasattr probe).
+      * kind="eval3d": eval3d.py:50-103 (reader hand_crop=True
+        use_wrist_coord=False, PosePriorNetwork(variant) on GT scoremaps,
+        pred * keypoint_scale vs root-centered GT, all kps visible).
+      * kind="eval_full": eval_full.py:46-101 (STB or RHD reader
+        use_wrist_coord=False, full cascade on the 240x320 resize,
+        pred * keypoint_scale vs root-centered GT, AUC 0-50mm plus the
+        curve[8:] 20-50mm subset).
+
+    The network weights are the graph's random init at ``seed`` — or, when
+    ``weight_files`` is given, the result of the reference's OWN
+    ``net.init(sess, weight_files, exclude_var_list)`` pickle loader
+    (ColorHandPose3DNetwork.py:34-59), exactly as each script loads its
+    paper weights (eval_full.py:66-67, eval2d.py:78-79, eval3d.py:76,
+    eval2d_gt_cropped.py:66). Either way the effective weights are returned
+    as ``flat_vars`` so the caller can push the SAME weights through the
+    JAX harness (weights/convert.flat_to_tree) — this is how
+    tools/run_baseline_parity.py can self-validate against the executed
+    reference the day the shipped artifacts appear.
+
+    Args:
+      kind: which script composition to run.
+      bin_path: a .bin file in the reference byte layout (RHD or STB).
+      num_samples: how many records to evaluate (the scripts loop
+        ``dataset.num_samples``; the queue cycles the staged file, so N
+        must be <= the record count for on-disk order).
+      variant: PosePriorNetwork variant (kind="eval3d" only).
+      dataset: "rhd" | "stb" (kind="eval_full" only; others are RHD).
+    Returns:
+      (metrics, flat_vars): metrics has mean/median/auc (plus auc_subset
+      for eval_full) in the script's units (px or meters).
+    """
+    import shutil
+    import tempfile
+
+    ref = import_reference()
+    tf1 = ref.tf1
+    if dataset == "stb":
+        import data.BinaryDbReaderSTB as stb_mod
+        reader_cls = stb_mod.BinaryDbReaderSTB
+        staged = os.path.join("data", "stb", "stb_eval.bin")
+    else:
+        reader_cls = ref.reader_mod.BinaryDbReader
+        staged = os.path.join("data", "bin", "rhd_evaluation.bin")
+    workdir = tempfile.mkdtemp(prefix="refeval_")
+    os.makedirs(os.path.dirname(os.path.join(workdir, staged)))
+    shutil.copy(bin_path, os.path.join(workdir, staged))
+    old_cwd = os.getcwd()
+    graph = tf1.Graph()
+    try:
+        os.chdir(workdir)
+        with graph.as_default():
+            tf1.set_random_seed(seed)
+            if kind == "eval2d_gt_cropped":
+                # eval2d_gt_cropped.py:37-51
+                reader = reader_cls(mode="evaluation", shuffle=False,
+                                    hand_crop=True, use_wrist_coord=False)
+                data = reader.get()
+                net = ref.cascade_mod.ColorHandPose3DNetwork()
+                scoremap = net.inference_pose2d(data["image_crop"])[-1]
+                s = data["image_crop"].get_shape().as_list()
+                scoremap = tf1.image.resize_images(scoremap, (s[1], s[2]))
+                fetches = [data["crop_scale"], scoremap,
+                           data["keypoint_uv21"], data["keypoint_vis21"]]
+            elif kind == "eval2d":
+                # eval2d.py:44-58
+                reader = reader_cls(mode="evaluation", shuffle=False,
+                                    use_wrist_coord=True, scale_to_size=True)
+                data = reader.get()
+                net = ref.cascade_mod.ColorHandPose3DNetwork()
+                image_scaled = tf1.image.resize_images(data["image"],
+                                                       (240, 320))
+                s = data["image"].get_shape().as_list()
+                img_scale = (240.0 / s[1], 320.0 / s[2])
+                keypoints_scoremap, _, scale_crop, center = net.inference2d(
+                    image_scaled)
+                fetches = [keypoints_scoremap, scale_crop, center,
+                           data["keypoint_uv21"], data["keypoint_vis21"]]
+            elif kind == "eval3d":
+                # eval3d.py:50-61
+                reader = reader_cls(mode="evaluation", shuffle=False,
+                                    hand_crop=True, use_wrist_coord=False)
+                data = reader.get()
+                evaluation = tf1.placeholder_with_default(True, shape=())
+                net = ref.poseprior_mod.PosePriorNetwork(variant)
+                coord3d_pred, _, _ = net.inference(
+                    data["scoremap"], data["hand_side"], evaluation)
+                fetches = [data["keypoint_xyz21"], data["keypoint_scale"],
+                           coord3d_pred]
+            elif kind == "eval_full":
+                # eval_full.py:46-59 (the RHD branch is the script's
+                # commented-out reader line :45, BASELINE row 13)
+                reader = reader_cls(mode="evaluation", shuffle=False,
+                                    use_wrist_coord=False)
+                data = reader.get()
+                image_scaled = tf1.image.resize_images(data["image"],
+                                                       (240, 320))
+                net = ref.cascade_mod.ColorHandPose3DNetwork()
+                evaluation = tf1.placeholder_with_default(True, shape=())
+                _, _, _, _, _, coord3d_pred = net.inference(
+                    image_scaled, data["hand_side"], evaluation)
+                fetches = [data["keypoint_xyz21"], data["keypoint_vis21"],
+                           data["keypoint_scale"], coord3d_pred]
+            else:
+                raise ValueError(f"unknown kind {kind!r}")
+
+            init = tf1.global_variables_initializer()
+            var_list = tf1.global_variables()
+            util = ref.general.EvalUtil()
+            with tf1.Session(graph=graph) as sess:
+                sess.run(init)
+                sess.run(tf1.local_variables_initializer())
+                if weight_files is not None:
+                    net.init(sess, weight_files, exclude_var_list)
+                flat_vars = {v.op.name: np.asarray(sess.run(v))
+                             for v in var_list}
+                coord = tf1.train.Coordinator()
+                threads = tf1.train.start_queue_runners(sess=sess,
+                                                        coord=coord)
+                for _ in range(num_samples):
+                    vals = sess.run(fetches)
+                    if kind == "eval2d_gt_cropped":
+                        # eval2d_gt_cropped.py:72-84
+                        crop_scale, sm_v, uv_gt, vis = vals
+                        sm_v = np.squeeze(sm_v)
+                        uv_gt = np.squeeze(uv_gt)
+                        vis = np.squeeze(vis)
+                        crop_scale = np.squeeze(crop_scale)
+                        chw = ref.general.detect_keypoints(np.squeeze(sm_v))
+                        uv_pred = np.stack([chw[:, 1], chw[:, 0]], 1)
+                        util.feed(uv_gt / crop_scale, vis,
+                                  uv_pred / crop_scale)
+                    elif kind == "eval2d":
+                        # eval2d.py:85-106 (incl. the hasattr resolution
+                        # probe :101-103; BinaryDbReader has none -> 1.0)
+                        sm_v, scale_crop_v, center_v, uv_gt, vis = vals
+                        sm_v = np.squeeze(sm_v)
+                        uv_gt = np.squeeze(uv_gt)
+                        vis = np.squeeze(vis)
+                        chw_crop = ref.general.detect_keypoints(
+                            np.squeeze(sm_v))
+                        chw = ref.general.trafo_coords(
+                            chw_crop, center_v, scale_crop_v, 256)
+                        uv_pred = np.stack([chw[:, 1], chw[:, 0]], 1)
+                        uv_pred[:, 1] /= img_scale[0]
+                        uv_pred[:, 0] /= img_scale[1]
+                        s2o = 1.0
+                        if hasattr(reader, "resolution"):
+                            s2o = reader.resolution
+                        util.feed(uv_gt / s2o, vis, uv_pred / s2o)
+                    elif kind == "eval3d":
+                        # eval3d.py:85-98
+                        xyz21, kp_scale, pred = [np.squeeze(v) for v in vals]
+                        pred = pred * kp_scale
+                        xyz21 = xyz21 - xyz21[0, :]
+                        util.feed(xyz21, np.ones_like(xyz21[:, 0]), pred)
+                    else:  # eval_full
+                        # eval_full.py:74-86
+                        xyz21, vis21, kp_scale, pred = [
+                            np.squeeze(v) for v in vals]
+                        pred = pred * kp_scale
+                        xyz21 = xyz21 - xyz21[0, :]
+                        util.feed(xyz21, vis21, pred)
+                coord.request_stop()
+                coord.join(threads, stop_grace_period_secs=10)
+    finally:
+        os.chdir(old_cwd)
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    if kind in ("eval2d_gt_cropped", "eval2d"):
+        # :87 / :109 — thresholds 0-30 px over 20 steps
+        mean, median, auc, _, _ = util.get_measures(0.0, 30.0, 20)
+        metrics = {"mean": mean, "median": median, "auc": auc}
+    elif kind == "eval3d":
+        mean, median, auc, _, _ = util.get_measures(0.0, 0.050, 20)
+        metrics = {"mean": mean, "median": median, "auc": auc}
+    else:
+        # eval_full.py:92-101 — 0-50mm + the curve[8:] 20-50mm subset
+        mean, median, auc, curve, threshs = util.get_measures(0.0, 0.050, 20)
+        curve_sub, thr_sub = curve[8:], threshs[8:] * 1000.0
+        metrics = {"mean": mean, "median": median, "auc": auc,
+                   "auc_subset": ref.general.calc_auc(thr_sub, curve_sub)}
+    return metrics, flat_vars
+
+
 def save_tf_checkpoint(path, flat_vars):
     """Write {name: ndarray} as a real TF V2 checkpoint via tf1.train.Saver —
     ground-truth input for the TF-free parser (weights/tf_ckpt.py)."""
