@@ -1114,3 +1114,83 @@ def test_truncated_normal_distribution_vs_tf(oracle, jnp_cpu):
     q = np.linspace(0.1, 0.9, 9)
     np.testing.assert_allclose(
         np.quantile(ref, q), np.quantile(ours, q), atol=0.05 * sigma)
+
+
+def test_train_trajectory_vs_reference(oracle, jnp_cpu):
+    """MULTI-STEP Adam training trajectory against the reference, same
+    full batch every step (deterministic: the executed stage graphs have no
+    active dropout). Extends test_train_step_vs_reference from one step to
+    the optimizer's trajectory — catches bias-correction, beta/eps
+    bookkeeping, or state-threading bugs that a single step can't see.
+
+    Calibrated on this seed (probe committed in this test's tolerances):
+    lifting 'proposed' tracks the reference to <=2.6e-3 relative loss over
+    40 steps while the loss drops ~2x — the step-0 gap is the analytic
+    TF-vs-optax eps difference (~7e-6) and growth stays bounded. The conv
+    stages diverge chaotically instead (~10% by step 14 at random init):
+    hundreds of near-zero leaky-relu pre-activations flip masks between
+    the stacks and compound (see the flip analysis in
+    test_train_step_vs_reference) — so posenet gets only a coarse
+    same-descent-path bound here, and its per-step semantics are pinned by
+    the one-step test."""
+    import jax
+    import optax
+
+    from hand3d_tpu.models import posenet
+    from hand3d_tpu.models.poseprior import PosePriorNetwork
+    from hand3d_tpu.train.losses import lifting_loss, posenet_scoremap_loss
+    from hand3d_tpu.weights.convert import flat_to_tree
+
+    lr = 1e-4
+
+    def jax_trajectory(loss_fn, tree, steps):
+        opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+        state = opt.init(tree)
+        vg = jax.jit(jax.value_and_grad(loss_fn))
+        losses = []
+        for _ in range(steps):
+            loss, grads = vg(tree)
+            losses.append(float(loss))
+            updates, state = opt.update(grads, state, tree)
+            tree = optax.apply_updates(tree, updates)
+        return np.asarray(losses)
+
+    # --- lifting 'proposed': tight trajectory pin -----------------------
+    steps = 40
+    inputs = _train_step_inputs("lifting", "proposed")
+    ref = oracle.reference_train_step("lifting", inputs, lr,
+                                      variant="proposed", num_steps=steps)
+    net = PosePriorNetwork("proposed")
+
+    def lift_loss(tree):
+        out = net.apply(tree, inputs["scoremap"], inputs["hand_side"],
+                        train=False)
+        return lifting_loss("proposed", out, inputs)
+
+    ours = jax_trajectory(lift_loss, flat_to_tree(ref["vars0"]), steps)
+    theirs = np.asarray(ref["losses"])
+    rel = np.abs(ours - theirs) / np.abs(theirs)
+    # step 0 is pre-update (loss identity already pinned at 1e-5 by the
+    # one-step test); step 1 sees only the eps-formulation difference
+    assert rel[1] < 1e-4, rel[1]
+    assert rel.max() < 1e-2, f"max rel {rel.max():.2e} at {rel.argmax()}"
+    # both stacks must ride the same descent (probe: 1.364 -> 0.669)
+    assert theirs[-1] < 0.75 * theirs[0]
+    assert ours[-1] < 0.75 * ours[0]
+
+    # --- posenet: coarse same-descent-path bound (chaotic flips) --------
+    steps = 15
+    inputs = _train_step_inputs("posenet", None)
+    ref = oracle.reference_train_step("posenet", inputs, lr, num_steps=steps)
+
+    def pose_loss(tree):
+        preds = posenet.apply(tree[posenet.SCOPE], inputs["image_crop"])
+        return posenet_scoremap_loss(
+            preds, inputs["scoremap"], inputs["keypoint_vis21"])
+
+    ours = jax_trajectory(pose_loss, flat_to_tree(ref["vars0"]), steps)
+    theirs = np.asarray(ref["losses"])
+    rel = np.abs(ours - theirs) / np.abs(theirs)
+    assert rel[1] < 1e-3, rel[1]
+    assert rel.max() < 0.25, f"max rel {rel.max():.2e} at {rel.argmax()}"
+    assert theirs[-1] < theirs[0] and ours[-1] < ours[0]

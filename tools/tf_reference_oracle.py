@@ -531,8 +531,9 @@ def reference_lr_schedule(values, steps, query_steps):
             return [float(sess.run(lr, {step_ph: s})) for s in query_steps]
 
 
-def reference_train_step(stage, inputs, lr, variant="proposed", seed=0):
-    """Build a reference stage TRAINING graph and run ONE Adam step on CPU.
+def reference_train_step(stage, inputs, lr, variant="proposed", seed=0,
+                         num_steps=1):
+    """Build a reference stage TRAINING graph and run Adam step(s) on CPU.
 
     Replicates the loss + optimizer wiring of the reference's training
     scripts exactly:
@@ -561,10 +562,16 @@ def reference_train_step(stage, inputs, lr, variant="proposed", seed=0):
       lr: scalar learning rate (the scheduler output at step 0; the
         reference's AdamOptimizer sees a constant because global_step is
         never advanced).
+      num_steps: how many Adam steps to run on the SAME batch (full-batch
+        deterministic trajectory; the executed stage graphs have no active
+        dropout — posenet/handsegnet have none, lifting's is disabled by
+        the unfed evaluation placeholder — so the trajectory is exact).
     Returns:
-      dict with loss (float), grads {var_name: ndarray} for every trainable
-      variable, vars0 {name: ndarray} at init (push through flat_to_tree to
-      run the same step in JAX), vars1 {name: ndarray} after one step.
+      dict with loss (float, at step 0), losses ([num_steps] floats, the
+      loss evaluated before each step), grads {var_name: ndarray} at step 0
+      for every trainable variable, vars0 {name: ndarray} at init (push
+      through flat_to_tree to run the same steps in JAX), vars1
+      {name: ndarray} after num_steps.
     """
     ref = import_reference()
     tf1 = ref.tf1
@@ -636,10 +643,14 @@ def reference_train_step(stage, inputs, lr, variant="proposed", seed=0):
             sess.run(tf1.global_variables_initializer())
             vars0 = {v.op.name: np.asarray(sess.run(v)) for v in model_vars}
             loss_v, grads_v = sess.run([loss, grads], feed)
-            sess.run(train_op, feed)
+            losses = []
+            for _ in range(num_steps):
+                step_loss, _ = sess.run([loss, train_op], feed)
+                losses.append(float(step_loss))
             vars1 = {v.op.name: np.asarray(sess.run(v)) for v in model_vars}
     return {
         "loss": float(loss_v),
+        "losses": losses,
         "grads": {v.op.name: np.asarray(g)
                   for v, g in zip(tvars, grads_v)},
         "vars0": vars0,
