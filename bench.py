@@ -39,6 +39,32 @@ methods exist:
 ROBUSTNESS (the round-1 lesson): every attempt in the fallback ladder must
 exercise a DIFFERENT compile path, and each child logs per-phase progress
 to stderr so a timeout shows where it died. See _ATTEMPTS below.
+
+WEDGE ROBUSTNESS (the round-4 lesson): rung diversity does not help when the
+TPU tunnel itself is wedged — in that state every child hangs at ~0% CPU
+before its first device interaction and each rung just burns its one-shot
+timeout (BENCH_r01/BENCH_r04 both died this way). The ladder is therefore
+driven by a cheap DEVICE-HEALTH PROBE (tiny matmul in a killable subprocess):
+
+  * no rung timeout is spent unless a probe has just succeeded; failed
+    probes back off exponentially and re-probe, so a wedged window costs
+    ~90 s per probe instead of 240-420 s per rung;
+  * rung budgets scale with the probe's measured latency (a degraded-but-
+    alive host gets proportionally more time than the healthy-host constants);
+  * children checkpoint PARTIAL timings (post-compile chain-1 latency, warm
+    chain-run latency) to a side file, so a child killed mid-measurement
+    still contributes a conservative lower-bound fps, emitted with
+    "partial": true if nothing better lands;
+  * the whole run fits a wall budget (default 1380 s, inside the driver's
+    1500 s) and ALWAYS prints one machine-readable JSON line: a full result,
+    a partial result, or a device-unreachable record carrying the probe
+    history — and exits 0 whenever that line was printed, so the driver
+    records evidence instead of a bare rc=1.
+
+Strategy: bank-then-improve. The first healthy probe triggers the proven-
+fast rung (bf16 + XLA floodfill, ~60-150 s) to BANK a number; only with a
+banked result and budget to spare is the ~5%-faster Pallas rung attempted.
+The best successful measurement is emitted at the end.
 """
 
 import json
@@ -52,6 +78,28 @@ _T0 = time.perf_counter()
 def _log(msg):
     print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
           file=sys.stderr, flush=True)
+
+
+def _write_partial(phase, per_batch_s, batch):
+    """Checkpoint a conservative timing milestone to the parent's side file.
+
+    Written after each measurement phase inside the child so that a child
+    killed on timeout still leaves a usable lower-bound throughput. Each
+    line is a full JSON record; the parent uses the LAST line (latest =
+    tightest bound). ``per_batch_s`` must be an UPPER bound on true device
+    time per batch (so batch/per_batch_s is a defensible fps lower bound).
+    """
+    path = os.environ.get("HAND3D_BENCH_PARTIAL_FILE")
+    if not path:
+        return
+    try:
+        with open(path, "a") as f:
+            f.write(json.dumps({"phase": phase, "per_batch_s": per_batch_s,
+                                "batch": batch}) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+    except OSError as e:
+        _log(f"partial write failed: {e}")
 
 
 # --- chaining methods -------------------------------------------------------
@@ -157,9 +205,21 @@ def bench_cascade(batch=32, chain=16, trials=3, compute_dtype=None,
     run1, runn = _make_runners(net, method, chain)
     _log("compile + first run (chain=1) ...")
     run1(params, image, hand_side)
-    _log("chain=1 done; warm run (chain=n) ...")
+    # milestone 1: a warm chain-1 run is dispatch + one full cascade — an
+    # upper bound on device time per batch, checkpointed in case the chain
+    # run below never completes (degraded-host insurance).
+    t0 = time.perf_counter()
+    run1(params, image, hand_side)
+    t_one = time.perf_counter() - t0
+    _write_partial("chain1_warm", t_one, batch)
+    _log(f"chain=1 done ({t_one:.3f}s); warm run (chain={chain}) ...")
+    t0 = time.perf_counter()
     runn(params, image, hand_side)
-    _log("warm done; timing ...")
+    t_warm = time.perf_counter() - t0
+    # milestone 2: warm chain run / chain — still an upper bound (includes
+    # one dispatch + compile-cache lookups amortized over the chain).
+    _write_partial("chain_warm", t_warm / chain, batch)
+    _log(f"warm done ({t_warm:.3f}s); timing ...")
 
     def best(fn, tag):
         times = []
@@ -170,29 +230,32 @@ def bench_cascade(batch=32, chain=16, trials=3, compute_dtype=None,
             _log(f"  {tag} trial {t}: {times[-1]:.3f}s")
         return min(times)
 
-    per_batch = (best(runn, f"chain={chain}") - best(run1, "chain=1")) / (chain - 1)
+    best_n = best(runn, f"chain={chain}")
+    # milestone 3: trial-min chain time / chain — tightest upper bound short
+    # of the dispatch-subtracting differential below.
+    _write_partial("chain_trials", best_n / chain, batch)
+    per_batch = (best_n - best(run1, "chain=1")) / (chain - 1)
     _log(f"per-batch {per_batch * 1e3:.2f} ms -> {batch / per_batch:.1f} fps")
     return batch / per_batch
 
 
-def _emit(fps, batch):
-    print(
-        json.dumps(
-            {
-                "metric": "cascade_fps_per_chip",
-                "value": round(fps, 2),
-                "unit": "frames/sec",
-                "vs_baseline": round(fps / 20.0, 3),
-                # measurement condition, so runs at different batch sizes
-                # (incl. the smaller-batch fallback attempts) stay comparable
-                "batch": batch,
-            }
-        ),
-        flush=True,
-    )
+def _emit(fps, batch, extra=None):
+    rec = {
+        "metric": "cascade_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 20.0, 3),
+        # measurement condition, so runs at different batch sizes
+        # (incl. the smaller-batch fallback attempts) stay comparable
+        "batch": batch,
+    }
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
 
 
 def _child(batch):
+    _set_platform()
     import jax
     import jax.numpy as jnp
 
@@ -232,21 +295,18 @@ def _child(batch):
                         quantize_scope=quantize_scope), batch)
 
 
-# Each attempt differs in at least one compile-path dimension (floodfill
-# kernel, dtype, chaining method, batch) so no single compiler pathology can
-# take out the whole ladder — the round-1 failure mode (VERDICT.md weak #1).
+# Fallback rungs, reliable-first ("bank"): each differs in at least one
+# compile-path dimension (floodfill kernel, dtype, chaining method, batch) so
+# no single compiler pathology can take out the whole ladder — the round-1
+# failure mode (VERDICT.md weak #1). Timeouts are HEALTHY-HOST constants;
+# main() scales them by the measured probe latency and the remaining wall
+# budget before use.
 _ATTEMPTS = [
     # (tag, batch, timeout_s, env overrides)
-    # Pallas floodfill measures ~5% faster at b128 (1178 vs 1113 fps, r2
-    # chip), but its cold compile has been seen past 250 s when the host
-    # core is loaded — give it a timeout that survives that, with the
-    # proven-60s XLA-floodfill rung right behind it as the rescue.
-    ("bf16+pallas+pychain", 128, 420, {}),
-    # rung 2 has measured ~60 s warm / <150 s cold; its timeout is kept at
-    # 150 s so that even if rung 1 burns its full 420 s the pair stays
-    # inside the ~600 s overall bench budget (ADVICE round 2)
-    ("bf16+xla-floodfill+pychain", 128, 150, {"HAND3D_PALLAS": "0"}),
-    ("bf16+xla+pychain-b32", 32, 240, {"HAND3D_PALLAS": "0"}),
+    # banker rung: measured ~60 s warm / <150 s cold on a healthy host, and
+    # only ~5% below the Pallas-floodfill number (1113 vs 1178 fps b128, r2)
+    ("bf16+xla-floodfill+pychain", 128, 200, {"HAND3D_PALLAS": "0"}),
+    ("bf16+xla+pychain-b32", 32, 200, {"HAND3D_PALLAS": "0"}),
     ("fp32+xla+pychain-b32", 32, 240,
      {"HAND3D_PALLAS": "0", "HAND3D_BENCH_DTYPE": "fp32"}),
     ("fp32+xla+scan-b8", 8, 240,
@@ -254,23 +314,82 @@ _ATTEMPTS = [
       "HAND3D_BENCH_METHOD": "scan", "HAND3D_BENCH_CHAIN": "8"}),
 ]
 
+# improver rung: Pallas floodfill is the headline-best path (~+5% at b128)
+# but its cold compile has been seen past 250 s on a loaded host — it is
+# only attempted AFTER a banked success, with budget to spare.
+_IMPROVER = ("bf16+pallas+pychain", 128, 420, {})
 
-def main():
-    """Run measurement attempts in subprocesses with hard timeouts.
+# Healthy-host probe latency (import jax + device init + tiny matmul over
+# the tunnel). Used as the denominator for adaptive budget scaling.
+_PROBE_NOMINAL_S = 15.0
 
-    The TPU tunnel in this environment occasionally wedges a client process
-    indefinitely (near-zero CPU, blocked in an RPC or a pathological
-    compile); an in-process attempt would turn that into a bench failure.
-    A killed subprocess just falls through to the next attempt — and each
-    attempt uses a different compile path (see _ATTEMPTS).
+
+def _set_platform():
+    """Apply HAND3D_BENCH_PLATFORM (e.g. "cpu") via the config API.
+
+    The axon TPU plugin in this environment ignores the JAX_PLATFORMS env
+    var (tests/conftest.py), so CI/self-tests of the ladder need the config
+    route to keep probe + rung children off the tunnel.
+    """
+    plat = os.environ.get("HAND3D_BENCH_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
+def _probe_main():
+    """Child body for --probe: one tiny device matmul, then a JSON line."""
+    t0 = time.perf_counter()
+    _set_platform()
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((256, 256), jnp.float32)
+    v = float(jnp.asarray(x @ x)[0, 0])
+    print(json.dumps({"probe_ok": v == 256.0,
+                      "seconds": round(time.perf_counter() - t0, 2)}),
+          flush=True)
+
+
+def _run_probe(timeout):
+    """Run the device-health probe in a killable subprocess.
+
+    Returns (ok, elapsed_s). A wedged tunnel hangs the child at ~0% CPU;
+    the timeout-kill costs `timeout` seconds instead of a full rung budget.
+    """
+    import subprocess
+
+    t0 = time.perf_counter()
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--probe"],
+            capture_output=True, timeout=timeout, text=True,
+        )
+        ok = r.returncode == 0 and '"probe_ok": true' in r.stdout
+    except subprocess.TimeoutExpired:
+        ok = False
+    return ok, time.perf_counter() - t0
+
+
+def _run_attempt(tag, batch, timeout, env_over):
+    """Run one ladder rung as a subprocess; returns (record|None, partial|None).
+
+    ``record`` is the parsed full-measurement JSON on success. ``partial``
+    is the child's last checkpointed milestone (see _write_partial) when the
+    child died or timed out after producing at least one timing.
     """
     import subprocess
     import tempfile
 
     here = os.path.dirname(os.path.abspath(__file__))
-    for tag, batch, timeout, env_over in _ATTEMPTS:
-        env = dict(os.environ, **env_over)
-        _log(f"attempt '{tag}' batch={batch} timeout={timeout}s")
+    pf = tempfile.NamedTemporaryFile(
+        mode="w", prefix="bench_partial_", suffix=".jsonl", delete=False)
+    pf.close()
+    env = dict(os.environ, **env_over,
+               HAND3D_BENCH_PARTIAL_FILE=pf.name)
+    _log(f"attempt '{tag}' batch={batch} timeout={timeout:.0f}s")
+    try:
         with tempfile.TemporaryFile(mode="w+") as out_f, \
                 tempfile.TemporaryFile(mode="w+") as err_f:
             try:
@@ -288,17 +407,144 @@ def main():
             stdout, stderr = out_f.read(), err_f.read()
         for line in stdout.splitlines():
             if line.startswith("{"):
-                print(line, flush=True)
                 _log(f"attempt '{tag}' SUCCEEDED")
-                return
+                return json.loads(line), None
         status = "timed out" if timed_out else "failed"
         _log(f"attempt '{tag}' {status}; child progress tail:\n"
              + "\n".join(stderr.splitlines()[-12:]))
-    raise SystemExit("bench failed at all attempts")
+        partial = None
+        try:
+            with open(pf.name) as f:
+                lines = [ln for ln in f.read().splitlines() if ln.strip()]
+            if lines:
+                partial = json.loads(lines[-1])
+                partial["tag"] = tag
+                _log(f"attempt '{tag}' left partial milestone: {partial}")
+        except (OSError, ValueError) as e:
+            _log(f"partial read failed: {e}")
+        return None, partial
+    finally:
+        try:
+            os.unlink(pf.name)
+        except OSError:
+            pass
+
+
+def main():
+    """Probe-gated, budget-aware measurement ladder (see module docstring).
+
+    Guarantees one JSON line on stdout before exit:
+      * full result            — rung completed its differential timing
+      * "partial": true        — only a mid-measurement milestone survived
+                                 (value is a conservative fps LOWER bound)
+      * "error": "device_unreachable" — no probe ever succeeded; the record
+                                 carries the probe history as evidence
+    Exit code is 0 whenever that line was printed: producing the
+    machine-readable record IS this script's contract with the driver.
+    """
+    wall_budget = float(os.environ.get("HAND3D_BENCH_WALL_BUDGET", "1380"))
+    deadline = _T0 + wall_budget
+    probe_timeout = float(os.environ.get("HAND3D_BENCH_PROBE_TIMEOUT", "90"))
+
+    def remaining():
+        return deadline - time.perf_counter()
+
+    banked = None          # best full-measurement record
+    partial_best = None    # best (fps, record) from dead children
+    probes = []            # (ok, elapsed) history for the unreachable record
+    backoff = 15.0
+    rung = 0               # next _ATTEMPTS index to try
+    improver_done = False
+
+    while remaining() > probe_timeout + 10:
+        if banked is not None and improver_done:
+            # past a banked result we only ever try the improver once;
+            # anything else is budget risk for no evidence gain
+            break
+        ok, dt = _run_probe(min(probe_timeout, remaining() - 5))
+        probes.append({"ok": ok, "seconds": round(dt, 1)})
+        _log(f"probe #{len(probes)}: ok={ok} {dt:.1f}s "
+             f"(remaining {remaining():.0f}s)")
+        if not ok:
+            if banked is not None:
+                break  # device degraded again — ship what we have
+            sleep_s = min(backoff, max(0.0, remaining() - probe_timeout - 10))
+            if sleep_s > 0:
+                _log(f"device unhealthy; backing off {sleep_s:.0f}s")
+                time.sleep(sleep_s)
+            backoff = min(backoff * 2, 300.0)
+            continue
+        backoff = 15.0
+        # adaptive budget: a degraded-but-alive host gets proportionally
+        # more rung time, up to 3x the healthy-host constant
+        scale = min(max(dt / _PROBE_NOMINAL_S, 1.0), 3.0)
+        if banked is None:
+            if rung >= len(_ATTEMPTS):
+                break  # every compile-path rung failed on a healthy device
+            tag, batch, base_t, env_over = _ATTEMPTS[rung]
+            rung += 1
+        else:
+            tag, batch, base_t, env_over = _IMPROVER
+            improver_done = True
+            if remaining() < base_t * scale + probe_timeout:
+                _log("skipping improver rung: not enough budget left")
+                break
+        # self-test hook: lets the CI ladder test run tiny batches on CPU
+        force_batch = os.environ.get("HAND3D_BENCH_FORCE_BATCH")
+        if force_batch:
+            batch = int(force_batch)
+        timeout = min(base_t * scale, remaining() - 10)
+        if timeout < 60:
+            _log(f"rung '{tag}' skipped: only {timeout:.0f}s left")
+            break
+        record, partial = _run_attempt(tag, batch, timeout, env_over)
+        if record is not None:
+            if banked is None or record["value"] > banked["value"]:
+                banked = record
+        elif partial is not None and partial.get("per_batch_s", 0) > 0:
+            fps = partial["batch"] / partial["per_batch_s"]
+            if partial_best is None or fps > partial_best[0]:
+                partial_best = (fps, partial)
+
+    if banked is not None:
+        print(json.dumps(banked), flush=True)
+        return
+    if partial_best is not None:
+        fps, partial = partial_best
+        _log("no rung completed; emitting partial lower bound")
+        _emit(fps, partial["batch"],
+              extra={"partial": True, "partial_phase": partial["phase"],
+                     "partial_tag": partial["tag"],
+                     "note": "child killed mid-measurement; value is a "
+                             "conservative fps lower bound"})
+        return
+    any_probe_ok = any(p["ok"] for p in probes)
+    error = "bench_failed" if any_probe_ok else "device_unreachable"
+    note = (
+        "device answered health probes but every measurement rung failed — "
+        "see the per-rung stderr tails above"
+        if any_probe_ok else
+        "no health probe (tiny device matmul, killable subprocess) "
+        "succeeded within the wall budget; the TPU tunnel is wedged "
+        "(see VERDICT r4 / BENCH_r01+r04 postmortems)"
+    )
+    _log(f"no measurement landed; emitting '{error}' record")
+    print(json.dumps({
+        "metric": "cascade_fps_per_chip",
+        "value": None,
+        "unit": "frames/sec",
+        "vs_baseline": None,
+        "error": error,
+        "probes": probes,
+        "wall_s": round(time.perf_counter() - _T0, 1),
+        "note": note,
+    }), flush=True)
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
         _child(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--probe":
+        _probe_main()
     else:
         main()

@@ -137,8 +137,27 @@ def _metrics_logger(args):
         return None
     from hand3d_tpu.utils.logging import MetricsLogger
 
-    return MetricsLogger(path, echo=False,
-                         fresh=not getattr(args, "resume", False))
+    logger = MetricsLogger(path, echo=False,
+                           fresh=not getattr(args, "resume", False))
+
+    # annotate every step row with the scheduled lr so logs carry direct
+    # evidence of LR-boundary crossings (train/schedule.piecewise_constant
+    # semantics: values[i] while step < steps[i], step >= boundary advances)
+    lr_values = getattr(args, "lr", None)
+    lr_steps = getattr(args, "lr_iter", None)
+    if lr_values and lr_steps is not None:
+        bounds = list(lr_steps)
+        vals = [float(v) for v in lr_values]
+        orig_log = logger.log
+
+        def log_with_lr(step=None, **kw):
+            if step is not None and "lr" not in kw:
+                idx = sum(int(step) >= b for b in bounds)
+                kw["lr"] = vals[min(idx, len(vals) - 1)]
+            return orig_log(step=step, **kw)
+
+        logger.log = log_with_lr
+    return logger
 
 
 def add_qat_arg(parser):

@@ -256,3 +256,76 @@ def test_run_baseline_parity_report_path(tmp_path):
 
     doc = tool._markdown(results, _Args)
     assert "| 1 |" in doc and "SKIPPED" in doc and "Expected" in doc
+
+
+@pytest.mark.slow
+def test_run_baseline_parity_all_rows_drill(tmp_path):
+    """Day-one drill (VERDICT r4 #8): ALL 13 BASELINE rows execute and are
+    JUDGED (none skipped) on synthetic .bin + shipped-shaped pickles +
+    retrained-shaped snapshots, so the first real-artifact run cannot die
+    on plumbing. Random weights make most verdicts FAIL; the tolerance
+    logic is additionally proven to fire in BOTH directions by re-judging
+    one row against its own measured values."""
+    import pickle as pkl
+
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import run_baseline_parity as tool
+    from fixtures import make_rhd_bin, make_stb_bin
+
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+    from hand3d_tpu.models.poseprior import PosePriorNetwork
+    from hand3d_tpu.models import handsegnet, posenet
+    from hand3d_tpu.train.checkpoints import save_snapshot
+    from hand3d_tpu.train.trainer import init_state, make_optimizer
+    from hand3d_tpu.weights.convert import tree_to_flat
+
+    data_dir = tmp_path / "data"
+    weights_dir = tmp_path / "weights"
+    retrained_dir = tmp_path / "retrained"
+    data_dir.mkdir(), weights_dir.mkdir(), retrained_dir.mkdir()
+    make_rhd_bin(str(data_dir / "rhd_evaluation.bin"), num_records=4)
+    make_stb_bin(str(data_dir / "stb_evaluation.bin"), num_records=4)
+
+    full = ColorHandPose3D().init(jax.random.PRNGKey(0))
+    pickles = {
+        "handsegnet-rhd.pickle": tree_to_flat(
+            {"HandSegNet": full["HandSegNet"]}),
+        "posenet-rhd-stb.pickle": tree_to_flat(
+            {"PoseNet2D": full["PoseNet2D"]}),
+        "posenet3d-rhd-stb.pickle": tree_to_flat(full),
+    }
+    for i, variant in enumerate(tool._VARIANT_BY_ROW.values()):
+        pickles[f"lifting-{variant}.pickle"] = tree_to_flat(
+            PosePriorNetwork(variant).init(jax.random.PRNGKey(1 + i)))
+    for name, flat in pickles.items():
+        with open(weights_dir / name, "wb") as f:
+            pkl.dump({k: np.asarray(v) for k, v in flat.items()}, f)
+
+    # retrained-shaped msgpack snapshots for rows 2/6
+    opt = make_optimizer([1e-4], [])
+    save_snapshot(str(retrained_dir / "snap_pose"),
+                  init_state({"PoseNet2D": posenet.init(
+                      jax.random.PRNGKey(7))}, opt), step=1)
+    save_snapshot(str(retrained_dir / "snap_seg"),
+                  init_state({"HandSegNet": handsegnet.init(
+                      jax.random.PRNGKey(8))}, opt), step=1)
+
+    results = tool.run_rows(str(data_dir), str(weights_dir),
+                            retrained_dir=str(retrained_dir),
+                            batch_size=2, progress=False)
+    assert sorted(results) == list(range(1, 14))
+    for row, r in results.items():
+        assert not r.get("skipped"), (row, r)
+        assert set(r["measured"]) == set(tool.ROWS[row]["expect"]), row
+        assert r["ok"] in (True, False), row
+        assert all(np.isfinite(v) for v in r["measured"].values()), (row, r)
+
+    # tolerance logic fires both ways: a row re-judged against its own
+    # measured numbers must PASS; against far-off numbers it must FAIL
+    row1 = results[1]
+    for k, v in row1["measured"].items():
+        assert tool._tol_ok(k, v, v, 0.02)
+        assert not tool._tol_ok(k, v, v + (1.0 if "auc" in k else
+                                           max(1.0, abs(v))), 0.02)

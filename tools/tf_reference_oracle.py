@@ -532,7 +532,7 @@ def reference_lr_schedule(values, steps, query_steps):
 
 
 def reference_train_step(stage, inputs, lr, variant="proposed", seed=0,
-                         num_steps=1):
+                         num_steps=1, track_vars=False):
     """Build a reference stage TRAINING graph and run Adam step(s) on CPU.
 
     Replicates the loss + optimizer wiring of the reference's training
@@ -644,11 +644,18 @@ def reference_train_step(stage, inputs, lr, variant="proposed", seed=0,
             vars0 = {v.op.name: np.asarray(sess.run(v)) for v in model_vars}
             loss_v, grads_v = sess.run([loss, grads], feed)
             losses = []
+            vars_steps = []
             for _ in range(num_steps):
                 step_loss, _ = sess.run([loss, train_op], feed)
                 losses.append(float(step_loss))
+                if track_vars:
+                    # post-update parameters after this step (only the
+                    # trainables — the flip-aware trajectory test diffs
+                    # them against the JAX trajectory per step)
+                    vars_steps.append({v.op.name: np.asarray(sess.run(v))
+                                       for v in tvars})
             vars1 = {v.op.name: np.asarray(sess.run(v)) for v in model_vars}
-    return {
+    out = {
         "loss": float(loss_v),
         "losses": losses,
         "grads": {v.op.name: np.asarray(g)
@@ -656,6 +663,9 @@ def reference_train_step(stage, inputs, lr, variant="proposed", seed=0,
         "vars0": vars0,
         "vars1": vars1,
     }
+    if track_vars:
+        out["vars_steps"] = vars_steps
+    return out
 
 
 def reference_eval_harness(kind, bin_path, num_samples, variant="direct",
@@ -709,12 +719,22 @@ def reference_eval_harness(kind, bin_path, num_samples, variant="direct",
     Returns:
       (metrics, flat_vars): metrics has mean/median/auc (plus auc_subset
       for eval_full) in the script's units (px or meters).
+
+    NOT thread/parallel-safe: the reference readers hardcode relative .bin
+    paths, so this helper os.chdir's into a temp workdir — a process-global
+    side effect. Don't run it concurrently from multiple threads or under
+    parallel test runners (pytest-xdist) in the same process.
     """
     import shutil
     import tempfile
 
     ref = import_reference()
     tf1 = ref.tf1
+    # the reference's net.init asserts os.path.exists on each weight file
+    # AFTER we chdir into the temp workdir below — resolve caller-relative
+    # paths now so they keep pointing at the real files (ADVICE r4)
+    if weight_files is not None:
+        weight_files = [os.path.abspath(p) for p in weight_files]
     if dataset == "stb":
         import data.BinaryDbReaderSTB as stb_mod
         reader_cls = stb_mod.BinaryDbReaderSTB
@@ -797,52 +817,19 @@ def reference_eval_harness(kind, bin_path, num_samples, variant="direct",
                 coord = tf1.train.Coordinator()
                 threads = tf1.train.start_queue_runners(sess=sess,
                                                         coord=coord)
-                for _ in range(num_samples):
-                    vals = sess.run(fetches)
-                    if kind == "eval2d_gt_cropped":
-                        # eval2d_gt_cropped.py:72-84
-                        crop_scale, sm_v, uv_gt, vis = vals
-                        sm_v = np.squeeze(sm_v)
-                        uv_gt = np.squeeze(uv_gt)
-                        vis = np.squeeze(vis)
-                        crop_scale = np.squeeze(crop_scale)
-                        chw = ref.general.detect_keypoints(np.squeeze(sm_v))
-                        uv_pred = np.stack([chw[:, 1], chw[:, 0]], 1)
-                        util.feed(uv_gt / crop_scale, vis,
-                                  uv_pred / crop_scale)
-                    elif kind == "eval2d":
-                        # eval2d.py:85-106 (incl. the hasattr resolution
-                        # probe :101-103; BinaryDbReader has none -> 1.0)
-                        sm_v, scale_crop_v, center_v, uv_gt, vis = vals
-                        sm_v = np.squeeze(sm_v)
-                        uv_gt = np.squeeze(uv_gt)
-                        vis = np.squeeze(vis)
-                        chw_crop = ref.general.detect_keypoints(
-                            np.squeeze(sm_v))
-                        chw = ref.general.trafo_coords(
-                            chw_crop, center_v, scale_crop_v, 256)
-                        uv_pred = np.stack([chw[:, 1], chw[:, 0]], 1)
-                        uv_pred[:, 1] /= img_scale[0]
-                        uv_pred[:, 0] /= img_scale[1]
-                        s2o = 1.0
-                        if hasattr(reader, "resolution"):
-                            s2o = reader.resolution
-                        util.feed(uv_gt / s2o, vis, uv_pred / s2o)
-                    elif kind == "eval3d":
-                        # eval3d.py:85-98
-                        xyz21, kp_scale, pred = [np.squeeze(v) for v in vals]
-                        pred = pred * kp_scale
-                        xyz21 = xyz21 - xyz21[0, :]
-                        util.feed(xyz21, np.ones_like(xyz21[:, 0]), pred)
-                    else:  # eval_full
-                        # eval_full.py:74-86
-                        xyz21, vis21, kp_scale, pred = [
-                            np.squeeze(v) for v in vals]
-                        pred = pred * kp_scale
-                        xyz21 = xyz21 - xyz21[0, :]
-                        util.feed(xyz21, vis21, pred)
-                coord.request_stop()
-                coord.join(threads, stop_grace_period_secs=10)
+                # finally: a sess.run failure mid-loop (e.g. a truncated
+                # .bin -> OutOfRangeError) must still stop + join the
+                # queue-runner threads, or they die noisily on the closed
+                # session (ADVICE r4)
+                try:
+                    for _ in range(num_samples):
+                        vals = sess.run(fetches)
+                        _feed_eval_util(ref, util, kind, vals, img_scale
+                                        if kind == "eval2d" else None,
+                                        reader)
+                finally:
+                    coord.request_stop()
+                    coord.join(threads, stop_grace_period_secs=10)
     finally:
         os.chdir(old_cwd)
         shutil.rmtree(workdir, ignore_errors=True)
@@ -861,6 +848,48 @@ def reference_eval_harness(kind, bin_path, num_samples, variant="direct",
         metrics = {"mean": mean, "median": median, "auc": auc,
                    "auc_subset": ref.general.calc_auc(thr_sub, curve_sub)}
     return metrics, flat_vars
+
+
+def _feed_eval_util(ref, util, kind, vals, img_scale, reader):
+    """One reference eval-script loop body: host decode + EvalUtil.feed."""
+    if kind == "eval2d_gt_cropped":
+        # eval2d_gt_cropped.py:72-84
+        crop_scale, sm_v, uv_gt, vis = vals
+        sm_v = np.squeeze(sm_v)
+        uv_gt = np.squeeze(uv_gt)
+        vis = np.squeeze(vis)
+        crop_scale = np.squeeze(crop_scale)
+        chw = ref.general.detect_keypoints(np.squeeze(sm_v))
+        uv_pred = np.stack([chw[:, 1], chw[:, 0]], 1)
+        util.feed(uv_gt / crop_scale, vis, uv_pred / crop_scale)
+    elif kind == "eval2d":
+        # eval2d.py:85-106 (incl. the hasattr resolution
+        # probe :101-103; BinaryDbReader has none -> 1.0)
+        sm_v, scale_crop_v, center_v, uv_gt, vis = vals
+        sm_v = np.squeeze(sm_v)
+        uv_gt = np.squeeze(uv_gt)
+        vis = np.squeeze(vis)
+        chw_crop = ref.general.detect_keypoints(np.squeeze(sm_v))
+        chw = ref.general.trafo_coords(chw_crop, center_v, scale_crop_v, 256)
+        uv_pred = np.stack([chw[:, 1], chw[:, 0]], 1)
+        uv_pred[:, 1] /= img_scale[0]
+        uv_pred[:, 0] /= img_scale[1]
+        s2o = 1.0
+        if hasattr(reader, "resolution"):
+            s2o = reader.resolution
+        util.feed(uv_gt / s2o, vis, uv_pred / s2o)
+    elif kind == "eval3d":
+        # eval3d.py:85-98
+        xyz21, kp_scale, pred = [np.squeeze(v) for v in vals]
+        pred = pred * kp_scale
+        xyz21 = xyz21 - xyz21[0, :]
+        util.feed(xyz21, np.ones_like(xyz21[:, 0]), pred)
+    else:  # eval_full
+        # eval_full.py:74-86
+        xyz21, vis21, kp_scale, pred = [np.squeeze(v) for v in vals]
+        pred = pred * kp_scale
+        xyz21 = xyz21 - xyz21[0, :]
+        util.feed(xyz21, vis21, pred)
 
 
 def save_tf_checkpoint(path, flat_vars):
