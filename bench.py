@@ -46,11 +46,14 @@ before its first device interaction and each rung just burns its one-shot
 timeout (BENCH_r01/BENCH_r04 both died this way). The ladder is therefore
 driven by a cheap DEVICE-HEALTH PROBE (tiny matmul in a killable subprocess):
 
-  * no rung timeout is spent unless a probe has just succeeded; failed
+  * no rung budget is spent unless a probe has just succeeded; failed
     probes back off exponentially and re-probe, so a wedged window costs
-    ~90 s per probe instead of 240-420 s per rung;
-  * rung budgets scale with the probe's measured latency (a degraded-but-
-    alive host gets proportionally more time than the healthy-host constants);
+    one probe timeout per try instead of 240-420 s per rung;
+  * each rung gets the REMAINING wall budget (minus a fallback reserve)
+    rather than a constant: its child is supervised by a CPU-time stall
+    watchdog that distinguishes WEDGED (~0% CPU -> killed in ~155 s) from
+    legitimately SLOW (a cold cascade compile burns CPU for hundreds of
+    seconds — 816 s observed — and is left to finish);
   * children checkpoint PARTIAL timings (post-compile chain-1 latency, warm
     chain-run latency) to a side file, so a child killed mid-measurement
     still contributes a conservative lower-bound fps, emitted with
@@ -186,13 +189,21 @@ def bench_cascade(batch=32, chain=16, trials=3, compute_dtype=None,
          f"pallas={os.environ.get('HAND3D_PALLAS', '1')}")
     net = ColorHandPose3D(compute_dtype=compute_dtype, seg_scale=seg_scale)
     params = net.init(jax.random.PRNGKey(0))
-    if quantize == "int8":
-        from hand3d_tpu.ops.quant import quantize_params_int8
+    if quantize in ("int8", "int8_static"):
+        from hand3d_tpu.ops.quant import (quantize_params_int8,
+                                          unit_act_scales)
 
         min_ch = int(os.environ.get("HAND3D_BENCH_QUANT_MINCH", "128"))
+        # int8_static: the calibrated-scale deployment graph (elementwise
+        # input quantize, NO per-sample reduction). Unit scales give the
+        # exact deployed compute for SPEED runs; accuracy bounds come from
+        # tools/preset_accuracy.py with real calibration.
+        act = (unit_act_scales(params, min_in_chan=min_ch)
+               if quantize == "int8_static" else None)
         params = quantize_params_int8(
             params, min_in_chan=min_ch,
-            scopes=set(quantize_scope) if quantize_scope else None)
+            scopes=set(quantize_scope) if quantize_scope else None,
+            act_scales=act)
     if phase_pack:
         from hand3d_tpu.ops.phasepack import phase_pack_params
 
@@ -274,11 +285,12 @@ def _child(batch):
     # HAND3D_BENCH_SEG_SCALE < 1 benchmarks the low-res-localization speed
     # preset (models/cascade.py seg_scale); the headline stays at parity 1.0.
     seg_scale = float(os.environ.get("HAND3D_BENCH_SEG_SCALE", "1.0"))
-    # HAND3D_BENCH_QUANT=int8 benchmarks the post-training-quantized path.
+    # HAND3D_BENCH_QUANT=int8 benchmarks the post-training-quantized path;
+    # int8_static uses calibrated-static activation scales (see above).
     quantize = os.environ.get("HAND3D_BENCH_QUANT") or None
-    assert quantize in (None, "int8"), (
-        f"HAND3D_BENCH_QUANT={quantize!r} — only 'int8' is supported; "
-        "refusing to silently benchmark fp32"
+    assert quantize in (None, "int8", "int8_static"), (
+        f"HAND3D_BENCH_QUANT={quantize!r} — only 'int8'/'int8_static' are "
+        "supported; refusing to silently benchmark fp32"
     )
     # HAND3D_BENCH_PHASEPACK=1 packs the 64-channel conv1 blocks (same MACs,
     # full MXU lanes; float-reassociation-level numeric delta only).
@@ -298,26 +310,34 @@ def _child(batch):
 # Fallback rungs, reliable-first ("bank"): each differs in at least one
 # compile-path dimension (floodfill kernel, dtype, chaining method, batch) so
 # no single compiler pathology can take out the whole ladder — the round-1
-# failure mode (VERDICT.md weak #1). Timeouts are HEALTHY-HOST constants;
-# main() scales them by the measured probe latency and the remaining wall
-# budget before use.
+# failure mode (VERDICT.md weak #1). There are no per-rung timeout
+# constants: each attempt gets the remaining wall budget minus a reserve
+# (the stall watchdog in _run_attempt kills wedged children after ~155 s,
+# so a generous absolute budget no longer risks burning the wall on a
+# wedge — the round-4 failure mode).
 _ATTEMPTS = [
-    # (tag, batch, timeout_s, env overrides)
-    # banker rung: measured ~60 s warm / <150 s cold on a healthy host, and
-    # only ~5% below the Pallas-floodfill number (1113 vs 1178 fps b128, r2)
-    ("bf16+xla-floodfill+pychain", 128, 200, {"HAND3D_PALLAS": "0"}),
-    ("bf16+xla+pychain-b32", 32, 200, {"HAND3D_PALLAS": "0"}),
-    ("fp32+xla+pychain-b32", 32, 240,
+    # (tag, batch, env overrides)
+    # banker rung: measured ~60 s warm / <150 s cold compile on a healthy
+    # exclusive host (816 s cold on a loaded one, chip_smoke), and only
+    # ~5% below the Pallas-floodfill number (1113 vs 1178 fps b128, r2)
+    ("bf16+xla-floodfill+pychain", 128, {"HAND3D_PALLAS": "0"}),
+    ("bf16+xla+pychain-b32", 32, {"HAND3D_PALLAS": "0"}),
+    ("fp32+xla+pychain-b32", 32,
      {"HAND3D_PALLAS": "0", "HAND3D_BENCH_DTYPE": "fp32"}),
-    ("fp32+xla+scan-b8", 8, 240,
+    ("fp32+xla+scan-b8", 8,
      {"HAND3D_PALLAS": "0", "HAND3D_BENCH_DTYPE": "fp32",
       "HAND3D_BENCH_METHOD": "scan", "HAND3D_BENCH_CHAIN": "8"}),
 ]
 
 # improver rung: Pallas floodfill is the headline-best path (~+5% at b128)
 # but its cold compile has been seen past 250 s on a loaded host — it is
-# only attempted AFTER a banked success, with budget to spare.
-_IMPROVER = ("bf16+pallas+pychain", 128, 420, {})
+# only attempted AFTER a banked success, with >= _IMPROVER_MIN_BUDGET left.
+_IMPROVER = ("bf16+pallas+pychain", 128, {})
+_IMPROVER_MIN_BUDGET = 500.0
+
+# wall-budget reserve kept back from a rung attempt while further fallback
+# rungs (plus their gating probe) could still run after it
+_RUNG_RESERVE = 250.0
 
 # Healthy-host probe latency (import jax + device init + tiny matmul over
 # the tunnel). Used as the denominator for adaptive budget scaling.
@@ -372,12 +392,42 @@ def _run_probe(timeout):
     return ok, time.perf_counter() - t0
 
 
-def _run_attempt(tag, batch, timeout, env_over):
-    """Run one ladder rung as a subprocess; returns (record|None, partial|None).
+def _child_cpu_seconds(pid):
+    """utime+stime of a process in seconds, or None once it's gone."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().split()
+        return (int(parts[13]) + int(parts[14])) / os.sysconf("SC_CLK_TCK")
+    except (OSError, IndexError, ValueError):
+        return None
 
-    ``record`` is the parsed full-measurement JSON on success. ``partial``
-    is the child's last checkpointed milestone (see _write_partial) when the
-    child died or timed out after producing at least one timing.
+
+def _run_attempt(tag, batch, timeout, env_over, stall_window=420.0,
+                 stall_cpu_frac=0.05):
+    """Run one ladder rung as a subprocess.
+
+    Returns (record|None, partial|None, status) with status in
+    {"ok", "failed", "timed out", "stalled"}. ``record`` is the parsed
+    full-measurement JSON on success. ``partial`` is the child's last
+    checkpointed milestone (see _write_partial) when the child died after
+    producing at least one timing.
+
+    Child supervision distinguishes the two documented failure modes
+    (BENCH_r04 postmortem) instead of conflating them under one absolute
+    timeout:
+      * WEDGED — the tunnel hangs the client at ~0% CPU: detected as
+        < ``stall_cpu_frac`` of a core used over the last ``stall_window``
+        seconds, killed early (no point waiting out the budget);
+      * SLOW — tolerated up to ``timeout``, which main() sizes from the
+        remaining wall budget.
+    CAVEAT that sizes the window: on the axon tunnel XLA compiles
+    SERVER-side, so a child waiting out a legitimate cold compile also
+    sits near 0% CPU (measured: a healthy b128 cascade compile was
+    stall-killed by a 150 s window). 420 s covers every exclusive-host
+    compile observed (~60 warm / <300 cold) while still cutting a true
+    wedge well before it eats the rung budget; main() additionally
+    retries a stalled rung once, since "stalled" may mean "compile was
+    slower than the window".
     """
     import subprocess
     import tempfile
@@ -388,28 +438,51 @@ def _run_attempt(tag, batch, timeout, env_over):
     pf.close()
     env = dict(os.environ, **env_over,
                HAND3D_BENCH_PARTIAL_FILE=pf.name)
-    _log(f"attempt '{tag}' batch={batch} timeout={timeout:.0f}s")
+    _log(f"attempt '{tag}' batch={batch} budget={timeout:.0f}s "
+         f"(stall kill: <{stall_cpu_frac:.0%} CPU over {stall_window:.0f}s)")
     try:
         with tempfile.TemporaryFile(mode="w+") as out_f, \
                 tempfile.TemporaryFile(mode="w+") as err_f:
-            try:
-                subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--child", str(batch)],
-                    stdout=out_f, stderr=err_f, timeout=timeout,
-                    cwd=here, env=env, text=True,
-                )
-                timed_out = False
-            except subprocess.TimeoutExpired:
-                timed_out = True
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 "--child", str(batch)],
+                stdout=out_f, stderr=err_f, cwd=here, env=env, text=True,
+            )
+            t_start = time.perf_counter()
+            timed_out = stalled = False
+            # (t, cpu_seconds) samples over the stall window
+            samples = [(t_start, 0.0)]
+            while True:
+                if proc.poll() is not None:
+                    break
+                now = time.perf_counter()
+                if now - t_start > timeout:
+                    timed_out = True
+                    break
+                cpu = _child_cpu_seconds(proc.pid)
+                if cpu is not None:
+                    samples.append((now, cpu))
+                    while samples[0][0] < now - stall_window:
+                        samples.pop(0)
+                    window = now - samples[0][0]
+                    if window >= stall_window * 0.95:
+                        used = samples[-1][1] - samples[0][1]
+                        if used < stall_cpu_frac * window:
+                            stalled = True
+                            break
+                time.sleep(5.0)
+            if timed_out or stalled:
+                proc.kill()
+                proc.wait()
             out_f.seek(0)
             err_f.seek(0)
             stdout, stderr = out_f.read(), err_f.read()
         for line in stdout.splitlines():
             if line.startswith("{"):
                 _log(f"attempt '{tag}' SUCCEEDED")
-                return json.loads(line), None
-        status = "timed out" if timed_out else "failed"
+                return json.loads(line), None, "ok"
+        status = ("stalled" if stalled else
+                  "timed out" if timed_out else "failed")
         _log(f"attempt '{tag}' {status}; child progress tail:\n"
              + "\n".join(stderr.splitlines()[-12:]))
         partial = None
@@ -422,7 +495,7 @@ def _run_attempt(tag, batch, timeout, env_over):
                 _log(f"attempt '{tag}' left partial milestone: {partial}")
         except (OSError, ValueError) as e:
             _log(f"partial read failed: {e}")
-        return None, partial
+        return None, partial, status
     finally:
         try:
             os.unlink(pf.name)
@@ -444,7 +517,11 @@ def main():
     """
     wall_budget = float(os.environ.get("HAND3D_BENCH_WALL_BUDGET", "1380"))
     deadline = _T0 + wall_budget
-    probe_timeout = float(os.environ.get("HAND3D_BENCH_PROBE_TIMEOUT", "90"))
+    # measured on this host: an exclusive probe on a DEGRADED-but-alive
+    # tunnel took 137 s end to end (cold import + axon init + one tiny
+    # matmul), so 90 s would misread "slow" as "wedged"; 165 s keeps the
+    # wedge cost bounded while accepting the slowest observed live tunnel
+    probe_timeout = float(os.environ.get("HAND3D_BENCH_PROBE_TIMEOUT", "165"))
 
     def remaining():
         return deadline - time.perf_counter()
@@ -455,6 +532,7 @@ def main():
     backoff = 15.0
     rung = 0               # next _ATTEMPTS index to try
     improver_done = False
+    stall_retried = set()  # rung tags already retried after a stall-kill
 
     while remaining() > probe_timeout + 10:
         if banked is not None and improver_done:
@@ -475,36 +553,44 @@ def main():
             backoff = min(backoff * 2, 300.0)
             continue
         backoff = 15.0
-        # adaptive budget: a degraded-but-alive host gets proportionally
-        # more rung time, up to 3x the healthy-host constant
-        scale = min(max(dt / _PROBE_NOMINAL_S, 1.0), 3.0)
         if banked is None:
             if rung >= len(_ATTEMPTS):
                 break  # every compile-path rung failed on a healthy device
-            tag, batch, base_t, env_over = _ATTEMPTS[rung]
+            tag, batch, env_over = _ATTEMPTS[rung]
             rung += 1
+            reserve = _RUNG_RESERVE if rung < len(_ATTEMPTS) else 60.0
         else:
-            tag, batch, base_t, env_over = _IMPROVER
+            tag, batch, env_over = _IMPROVER
             improver_done = True
-            if remaining() < base_t * scale + probe_timeout:
+            if remaining() < _IMPROVER_MIN_BUDGET:
                 _log("skipping improver rung: not enough budget left")
                 break
+            reserve = 60.0
         # self-test hook: lets the CI ladder test run tiny batches on CPU
         force_batch = os.environ.get("HAND3D_BENCH_FORCE_BATCH")
         if force_batch:
             batch = int(force_batch)
-        timeout = min(base_t * scale, remaining() - 10)
-        if timeout < 60:
+        timeout = remaining() - reserve
+        if timeout < 120:
             _log(f"rung '{tag}' skipped: only {timeout:.0f}s left")
             break
-        record, partial = _run_attempt(tag, batch, timeout, env_over)
+        record, partial, status = _run_attempt(tag, batch, timeout, env_over)
         if record is not None:
             if banked is None or record["value"] > banked["value"]:
                 banked = record
-        elif partial is not None and partial.get("per_batch_s", 0) > 0:
-            fps = partial["batch"] / partial["per_batch_s"]
-            if partial_best is None or fps > partial_best[0]:
-                partial_best = (fps, partial)
+        else:
+            if partial is not None and partial.get("per_batch_s", 0) > 0:
+                fps = partial["batch"] / partial["per_batch_s"]
+                if partial_best is None or fps > partial_best[0]:
+                    partial_best = (fps, partial)
+            if (status == "stalled" and tag not in stall_retried
+                    and banked is None and rung > 0):
+                # a "stall" can be a server-side compile slower than the
+                # window (see _run_attempt caveat) — give the same rung one
+                # fresh child before falling through the ladder
+                stall_retried.add(tag)
+                rung -= 1
+                _log(f"rung '{tag}' stalled; will retry it once")
 
     if banked is not None:
         print(json.dumps(banked), flush=True)

@@ -28,6 +28,12 @@ def leaky_relu(x):
     return jnp.maximum(x, NEG_SLOPE_OF_RELU * x)
 
 
+# Activation-range observer (ops.quant.calibrate_act_scales): set to a
+# callable during EAGER calibration runs only; None in production, so the
+# hot path costs one global load at trace time.
+_act_observer = None
+
+
 def conv2d(x, params, stride=1, compute_dtype=None):
     """SAME-padded conv + bias. params: {"weights": [kh,kw,ic,oc], "biases": [oc]}.
 
@@ -36,6 +42,8 @@ def conv2d(x, params, stride=1, compute_dtype=None):
     layout ({"weights_fq", ...}, ops.quant.qat_view) applies fake
     quantization to weights and activations, then runs the float path.
     """
+    if _act_observer is not None:
+        _act_observer(x, params)
     if "weights_q" in params:
         from hand3d_tpu.ops import quant
 
@@ -131,6 +139,8 @@ def avg_pool(x, size, stride=None, padding="SAME"):
 
 def dense(x, params, compute_dtype=None):
     """matmul + bias. params: {"weights": [in,out], "biases": [out]} — general.py:112-130."""
+    if _act_observer is not None:
+        _act_observer(x, params)
     if "weights_q" in params:
         from hand3d_tpu.ops import quant
 

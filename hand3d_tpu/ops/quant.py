@@ -66,6 +66,94 @@ def is_quantized(params):
     return isinstance(params, dict) and "weights_q" in params
 
 
+# --- static per-channel activation scales (calibrated) ----------------------
+#
+# The dynamic per-sample scheme above quantizes each sample's activations on
+# a grid set by that sample's OWN max — one outlier coarsens the grid for
+# every channel of the tensor. The static scheme instead calibrates a
+# per-INPUT-CHANNEL scale s_in[ic] offline and folds it into the weights:
+#
+#   conv(x, w) = conv(x / s_in, w * s_in)        (exact: s_in is per-ic)
+#
+# so the deployed op is x_q = round(x / s_in) (elementwise, NO reduction
+# over the live activations) followed by the same int8 conv with
+# weight scales computed on w' = w * s_in. Benefits: (a) channel ranges are
+# equalized, so low-range channels keep fine grids (the dominant term of
+# the measured PoseNet2D drift); (b) the per-sample abs-max reduction pass
+# over the largest activations disappears from the hot path. Cost:
+# activations beyond the calibrated range clip at 127 — calibrate on
+# representative data and keep ``margin`` >= 1.
+
+
+def calibrate_act_scales(run_float, params, batches, margin=1.0):
+    """Observe per-input-channel activation ranges of every conv/FC layer.
+
+    ``run_float(params, batch)`` must execute the FLOAT model EAGERLY (no
+    jit — the observer records concrete values as layers execute; tracers
+    are skipped). Layers are keyed by the identity of their "weights" leaf,
+    so pass the SAME ``params`` tree object to quantize_params_int8's
+    ``act_scales``.
+
+    Returns {id(weights_leaf): s_in} with s_in = margin * amax[ic] / 127.
+    """
+    import numpy as np
+
+    from hand3d_tpu.ops import nn as _nn
+
+    amax = {}
+
+    def observe(x, layer_params):
+        if isinstance(x, jax.core.Tracer):
+            return
+        w = layer_params.get("weights")
+        if w is None:
+            return
+        axes = tuple(range(x.ndim - 1))
+        m = np.asarray(jnp.max(jnp.abs(x), axis=axes))
+        key = id(w)
+        amax[key] = np.maximum(amax[key], m) if key in amax else m
+
+    prev = _nn._act_observer
+    _nn._act_observer = observe
+    try:
+        for batch in batches:
+            run_float(params, batch)
+    finally:
+        _nn._act_observer = prev
+    return {k: (margin * np.maximum(m, _EPS) / _QMAX).astype(np.float32)
+            for k, m in amax.items()}
+
+
+def unit_act_scales(params, min_in_chan=128, min_out_chan=32,
+                    skip_substrings=("upconv", "deconv")):
+    """All-ones "calibration" for every eligible layer.
+
+    Produces the exact DEPLOYED static-int8 compute graph (elementwise
+    quantize, no per-sample reduction) without a calibration run — for
+    SPEED benchmarking only: the grid is wrong unless activations happen
+    to live in [-127, 127]. Accuracy work must use calibrate_act_scales.
+    """
+    import numpy as np
+
+    out = {}
+
+    def walk(p):
+        if not isinstance(p, dict):
+            return
+        if "weights" in p and "biases" in p:
+            w = jnp.asarray(p["weights"])
+            if _eligible(w, min_in_chan, min_out_chan):
+                ic = w.shape[-2] if w.ndim == 4 else w.shape[0]
+                out[id(p["weights"])] = np.ones((ic,), np.float32)
+            return
+        for k, v in p.items():
+            if not any(s in k for s in skip_substrings):
+                walk(v)
+
+    walk(params)
+    return out
+
+
 def _eligible(w, min_in_chan, min_out_chan):
     """Shared PTQ/QAT layer gate — the two paths MUST quantize the same set.
 
@@ -100,7 +188,8 @@ def resolve_scopes(params, scopes):
 
 
 def quantize_params_int8(params, min_in_chan=128, min_out_chan=32,
-                         skip_substrings=("upconv", "deconv"), scopes=None):
+                         skip_substrings=("upconv", "deconv"), scopes=None,
+                         act_scales=None, include_substrings=None):
     """Rewrite {"weights", "biases"} layer dicts in a param pytree into the
     int8 layout ({"weights_q", "weight_scale", "biases"}). Idempotent.
 
@@ -129,20 +218,54 @@ def quantize_params_int8(params, min_in_chan=128, min_out_chan=32,
     (so the channel gate and per-output-channel scales would read the
     wrong axes), and nn.conv2d_transpose dequantizes before computing
     anyway — quantizing them adds rounding noise for zero speed win.
+
+    ``act_scales``: optional calibration from :func:`calibrate_act_scales`
+    (keyed by id of each layer's ORIGINAL "weights" leaf). Layers found in
+    it use STATIC per-input-channel activation scales — the scale is folded
+    into the weights before weight quantization and stored as "act_scale"
+    for the elementwise input quantization; layers not found keep the
+    dynamic per-sample scheme.
+
+    ``include_substrings``: optional POSITIVE filter — only subtrees whose
+    key matches an entry are quantized (everything else stays float).
+    Composes with ``scopes``: e.g. ``scopes={"posenet2d"},
+    include_substrings={"conv6", "conv7"}`` quantizes only the PoseNet
+    refinement units.
     """
     if scopes is not None:
         keys = resolve_scopes(params, scopes)
         return {
             k: (quantize_params_int8(v, min_in_chan, min_out_chan,
-                                     skip_substrings)
+                                     skip_substrings, act_scales=act_scales,
+                                     include_substrings=include_substrings)
                 if k in keys else v)
             for k, v in params.items()
         }
     if isinstance(params, dict):
         if "weights" in params and "biases" in params:
+            if include_substrings is not None:
+                # reached a leaf layer without matching the positive filter
+                return dict(params)
             w = jnp.asarray(params["weights"])
             if not _eligible(w, min_in_chan, min_out_chan):
                 return dict(params)
+            s_in = (act_scales or {}).get(id(params["weights"]))
+            if s_in is not None:
+                s_in = jnp.asarray(s_in, jnp.float32)
+                # fold the static input scale into the kernel: conv(x, w)
+                # == conv(x / s_in, w * s_in) exactly (per-ic scale), so
+                # the int8 grid sees range-equalized channels
+                w_ic_axis = w.ndim - 2  # HWIO ic / dense [in, out] in
+                shape = [1] * w.ndim
+                shape[w_ic_axis] = w.shape[w_ic_axis]
+                w_q, scale = quantize_weights_int8(
+                    w * s_in.reshape(shape))
+                return {
+                    "weights_q": w_q,
+                    "weight_scale": scale,
+                    "act_scale": s_in,
+                    "biases": jnp.asarray(params["biases"], jnp.float32),
+                }
             w_q, scale = quantize_weights_int8(w)
             return {
                 "weights_q": w_q,
@@ -151,19 +274,33 @@ def quantize_params_int8(params, min_in_chan=128, min_out_chan=32,
             }
         if is_quantized(params):
             return dict(params)
-        return {
-            k: (v if any(s in k for s in skip_substrings)
-                else quantize_params_int8(v, min_in_chan, min_out_chan,
-                                          skip_substrings))
-            for k, v in params.items()
-        }
+        out = {}
+        for k, v in params.items():
+            if any(s in k for s in skip_substrings):
+                out[k] = v
+                continue
+            inc = include_substrings
+            if inc is not None and any(s in k for s in inc):
+                inc = None  # matched: quantize this whole subtree
+            out[k] = quantize_params_int8(v, min_in_chan, min_out_chan,
+                                          skip_substrings,
+                                          act_scales=act_scales,
+                                          include_substrings=inc)
+        return out
     return params
 
 
 def dequantize_weights(params):
     """Recover a float kernel from a quantized layer dict (exact to within
     the original rounding): used by ops that have no int8 fast path."""
-    return params["weights_q"].astype(jnp.float32) * params["weight_scale"]
+    w = params["weights_q"].astype(jnp.float32) * params["weight_scale"]
+    if "act_scale" in params:
+        # static layers store w * s_in — unfold to recover the kernel
+        s_in = params["act_scale"]
+        shape = [1] * w.ndim
+        shape[w.ndim - 2] = s_in.shape[0]
+        w = w / s_in.reshape(shape)
+    return w
 
 
 def _ste(x, quantized):
@@ -248,9 +385,23 @@ def _native_int8():
     return jax.default_backend() == "tpu"
 
 
+def _quantize_input(x, params):
+    """Input quantization for the int8 ops: static (calibrated, elementwise)
+    when the layer carries "act_scale", else dynamic per-sample.
+
+    Returns (x_q, s_x) where s_x broadcasts over the OUTPUT of the matmul —
+    for static layers s_x is 1.0 because the input scale was folded into
+    the weights at quantization time."""
+    s_in = params.get("act_scale")
+    if s_in is not None:
+        x_q = jnp.clip(jnp.round(x / s_in), -_QMAX, _QMAX).astype(jnp.int8)
+        return x_q, jnp.float32(1.0)
+    return quantize_act_int8(x)
+
+
 def conv2d_int8(x, params, stride=1, dimension_numbers=("NHWC", "HWIO", "NHWC")):
     """int8 x int8 -> int32 conv on the MXU, dequantized to fp32 + bias."""
-    x_q, s_x = quantize_act_int8(x)
+    x_q, s_x = _quantize_input(x, params)
     if _native_int8():
         acc_dtype, w_q = jnp.int32, params["weights_q"]
     else:
@@ -269,7 +420,7 @@ def conv2d_int8(x, params, stride=1, dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 def dense_int8(x, params):
     """int8 matmul + fp32 dequant + bias."""
-    x_q, s_x = quantize_act_int8(x)  # s_x: [B, 1]
+    x_q, s_x = _quantize_input(x, params)  # dynamic s_x: [B, 1]; static: 1.0
     if _native_int8():
         acc_dtype, w_q = jnp.int32, params["weights_q"]
     else:

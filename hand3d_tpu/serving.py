@@ -22,7 +22,8 @@ from hand3d_tpu.weights import load_npz
 
 
 def prepare_params(params, quantize=None, phase_pack=False,
-                   quantize_scope=None):
+                   quantize_scope=None, calibration_batches=None,
+                   calibrate_fn=None):
     """Apply the optional inference-time param transforms (shared by the
     live estimator and the AOT exporter).
 
@@ -30,14 +31,29 @@ def prepare_params(params, quantize=None, phase_pack=False,
     e.g. {"handsegnet"}) restricting int8 quantization to those scopes —
     the drift-free preset: the measured ablation localizes all int8 uv
     drift to PoseNet2D activations while HandSegNet carries ~half the
-    cascade FLOPs (docs/DESIGN.md, docs/PRESETS.md)."""
-    assert quantize in (None, "int8"), quantize
-    if quantize == "int8":
-        from hand3d_tpu.ops.quant import quantize_params_int8
+    cascade FLOPs (docs/DESIGN.md, docs/PRESETS.md).
 
+    ``quantize="int8_static"``: int8 with CALIBRATED static per-input-
+    channel activation scales (ops/quant.py) — pass representative
+    ``calibration_batches`` plus ``calibrate_fn(params, batch)`` running
+    the float model eagerly (e.g. ``lambda p, b: net.inference(p, b,
+    hand_side)``)."""
+    assert quantize in (None, "int8", "int8_static"), quantize
+    if quantize is not None:
+        from hand3d_tpu.ops.quant import (calibrate_act_scales,
+                                          quantize_params_int8)
+
+        act = None
+        if quantize == "int8_static":
+            assert calibration_batches is not None and calibrate_fn, (
+                "quantize='int8_static' needs calibration_batches + "
+                "calibrate_fn (see ops.quant.calibrate_act_scales)")
+            act = calibrate_act_scales(calibrate_fn, params,
+                                       calibration_batches)
         params = quantize_params_int8(
             params,
-            scopes=set(quantize_scope) if quantize_scope else None)
+            scopes=set(quantize_scope) if quantize_scope else None,
+            act_scales=act)
     else:
         assert not quantize_scope, "quantize_scope requires quantize='int8'"
     if phase_pack:
@@ -102,7 +118,7 @@ class HandPoseEstimator:
     def __init__(self, params, batch_size=16, input_hw=(240, 320),
                  compute_dtype=None, left_hand=True, seg_scale=1.0,
                  mesh=None, quantize=None, phase_pack=False,
-                 quantize_scope=None):
+                 quantize_scope=None, calibration_images=None):
         """``mesh``: optional jax.sharding.Mesh (parallel.make_mesh) for
         multi-chip serving — the batch shards over the "data" axis and the
         params get the tensor-parallel layout for the mesh's "model" axis
@@ -123,9 +139,27 @@ class HandPoseEstimator:
         quantize/mesh, with two caveats: the packed conv needs an even
         input width (round(input width x seg_scale) — all stock resolutions
         are), and combining with seg_scale < 1 measured a batch-1 latency
-        REGRESSION (DESIGN.md) — pick one lever or the other."""
+        REGRESSION (DESIGN.md) — pick one lever or the other.
+
+        ``calibration_images``: [N, H, W, 3] representative images (any
+        accepted dtype), required with quantize="int8_static" — calibrates
+        the static activation scales on the float model before quantizing.
+        """
+        net_cal = ColorHandPose3D(seg_scale=seg_scale)
+        calib_batches, calib_fn = None, None
+        if quantize == "int8_static":
+            assert calibration_images is not None, (
+                "quantize='int8_static' needs calibration_images")
+            imgs = normalize_images(np.asarray(calibration_images))
+            hs = jnp.tile(
+                jnp.asarray([[1.0, 0.0]] if left_hand else [[0.0, 1.0]]),
+                (len(imgs), 1))
+            calib_batches = [jnp.asarray(imgs)]
+            calib_fn = (lambda p, b: net_cal.inference(p, b, hs))
         params = prepare_params(params, quantize, phase_pack,
-                                quantize_scope=quantize_scope)
+                                quantize_scope=quantize_scope,
+                                calibration_batches=calib_batches,
+                                calibrate_fn=calib_fn)
         self.net = ColorHandPose3D(compute_dtype=compute_dtype,
                                    seg_scale=seg_scale)
         self.batch_size = batch_size

@@ -76,10 +76,15 @@ def run_main(monkeypatch, capsys):
 
         def fake_attempt(tag, batch, timeout, env_over):
             attempts_seen.append((tag, batch, timeout))
-            record, partial = attempt_results.get(tag, (None, None))
-            # a successful rung finishes early; a failed one burns its budget
-            clock.t += 60.0 if record is not None else timeout
-            return record, partial
+            res = attempt_results.get(tag, (None, None))
+            record, partial = res[0], res[1]
+            status = (res[2] if len(res) > 2 else
+                      "ok" if record is not None else "failed")
+            # a successful rung finishes early; a failed/stalled one is
+            # killed by the watchdog — the full-budget burn only happens
+            # for slow-but-alive children, covered separately
+            clock.t += 60.0 if record is not None else min(155.0, timeout)
+            return record, partial, status
 
         monkeypatch.setattr(bench, "_run_probe", fake_probe)
         monkeypatch.setattr(bench, "_run_attempt", fake_attempt)
@@ -163,16 +168,19 @@ def test_reachable_but_all_rungs_fail_is_not_unreachable(run_main):
     assert len(attempts) == len(bench._ATTEMPTS)
 
 
-def test_degraded_host_scales_rung_budget(run_main):
-    """A slow-but-alive probe (45 s vs nominal 15 s) triples rung budgets."""
+def test_banker_gets_remaining_budget_minus_reserve(run_main):
+    """Rung budgets are the remaining wall minus the fallback reserve —
+    a cold 800 s compile must fit inside the banker's budget (the round-4
+    constant-timeout ladder killed it mid-compile)."""
     _, attempts, _ = run_main(
         probe_results=[(True, 45.0)] * 2,
         attempt_results={
             "bf16+xla-floodfill+pychain": (_record(1000.0), None),
         }, wall_budget=3000.0)
     tag, _, timeout = attempts[0]
-    base = bench._ATTEMPTS[0][2]
-    assert timeout == pytest.approx(base * 3.0)
+    # probe consumed 45 s; banker gets (3000 - 45) - reserve
+    assert timeout == pytest.approx(3000.0 - 45.0 - bench._RUNG_RESERVE)
+    assert timeout > 800.0
 
 
 def test_wedge_then_recovery_banks_a_number(run_main):
@@ -225,6 +233,40 @@ def test_bench_cpu_end_to_end():
     assert rec.get("error") is None
     assert rec["value"] > 0
     assert rec["batch"] == 4
+
+
+def test_stalled_rung_retried_once(run_main):
+    """A stall-kill may be a slow server-side compile — the rung gets one
+    fresh child before the ladder falls through to the next compile path."""
+    calls = []
+
+    def results(tag):
+        calls.append(tag)
+        if tag == "bf16+xla-floodfill+pychain" and calls.count(tag) == 2:
+            return (_record(1090.0), None, "ok")
+        return (None, None, "stalled")
+
+    rec, attempts, _ = run_main(
+        probe_results=[(True, 10.0)] * 6,
+        attempt_results=_DynamicResults(results),
+        wall_budget=2000.0)
+    tags = [t for t, _, _ in attempts]
+    assert tags[:2] == ["bf16+xla-floodfill+pychain"] * 2
+    assert rec["value"] == 1090.0
+
+
+class _DynamicResults(dict):
+    """attempt_results stand-in that computes results per call."""
+
+    def __init__(self, fn):
+        super().__init__()
+        self._fn = fn
+
+    def get(self, tag, default=None):
+        return self._fn(tag)
+
+    def __contains__(self, tag):
+        return True
 
 
 def test_probe_subprocess_cpu_real():

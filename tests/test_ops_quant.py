@@ -306,3 +306,155 @@ def test_serving_estimator_scoped_int8(rng):
         np.testing.assert_array_equal(
             scoped["keypoint_uv21"], base["keypoint_uv21"]
         )
+
+
+def test_static_act_scale_conv_matches_fp32(rng):
+    """Calibrated static per-channel activation scales: machinery + accuracy.
+
+    Folding identity: conv(x, w) == conv(x / s_in, w * s_in) per input
+    channel, so the static path must track fp32 within quantization error;
+    with channel ranges spread over two orders of magnitude it must beat
+    the dynamic per-sample grid (whose step is set by the WORST channel)."""
+    from hand3d_tpu.ops.quant import calibrate_act_scales
+
+    params = nn.conv_init(KEY, 3, 3, 32, 64)
+    # wildly heterogeneous channel ranges: dynamic per-sample quantization
+    # collapses the small channels onto a coarse grid
+    chan_scale = jnp.asarray(
+        np.logspace(-2, 0, 32, dtype=np.float32))
+    batches = [jnp.asarray(rng.randn(2, 16, 16, 32).astype(np.float32))
+               * chan_scale for _ in range(3)]
+
+    def run_float(p, x):
+        return nn.conv2d(x, p)
+
+    calib = calibrate_act_scales(run_float, params, batches)
+    assert id(params["weights"]) in calib
+    qstatic = quantize_params_int8(params, min_in_chan=0, act_scales=calib)
+    assert "act_scale" in qstatic
+    qdyn = quantize_params_int8(params, min_in_chan=0)
+
+    x = batches[0]
+    ref = np.asarray(nn.conv2d(x, params))
+    err_static = rel_l2(nn.conv2d(x, qstatic), ref)
+    err_dyn = rel_l2(nn.conv2d(x, qdyn), ref)
+    assert err_static < 0.02
+    assert err_static < err_dyn, (err_static, err_dyn)
+
+    # dequantize_weights unfolds the s_in factor back out. The unfold is
+    # the exact inverse of the fold (verified below), but the round-trip
+    # to the ORIGINAL kernel is only quantization-step accurate in the
+    # FOLDED space — small-s_in channels carry proportionally larger
+    # unfolded rounding (that redistribution of precision toward the
+    # large-activation channels is the point of the scheme).
+    w_back = np.asarray(dequantize_weights(qstatic))
+    manual = (np.asarray(qstatic["weights_q"], np.float32)
+              * np.asarray(qstatic["weight_scale"])
+              / np.asarray(calib[id(params["weights"])]).reshape(1, 1, -1, 1))
+    np.testing.assert_allclose(w_back, manual, rtol=1e-6)
+    assert rel_l2(w_back, np.asarray(params["weights"])) < 0.25
+
+
+def test_static_act_scale_dense_matches_fp32(rng):
+    from hand3d_tpu.ops.quant import calibrate_act_scales
+
+    params = nn.dense_init(KEY, 64, 32)
+    batches = [jnp.asarray(rng.randn(4, 64).astype(np.float32))
+               for _ in range(2)]
+    calib = calibrate_act_scales(lambda p, x: nn.dense(x, p), params,
+                                 batches)
+    qstatic = quantize_params_int8(params, min_in_chan=0, act_scales=calib)
+    assert "act_scale" in qstatic
+    ref = np.asarray(nn.dense(batches[0], params))
+    assert rel_l2(nn.dense(batches[0], qstatic), ref) < 0.03
+
+
+def test_static_act_scale_out_of_range_clips(rng):
+    """Inputs beyond the calibrated range clip at 127 — bounded, not wild."""
+    from hand3d_tpu.ops.quant import calibrate_act_scales
+
+    params = nn.conv_init(KEY, 1, 1, 16, 32)
+    calib_batch = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+    calib = calibrate_act_scales(lambda p, x: nn.conv2d(x, p), params,
+                                 [calib_batch])
+    qstatic = quantize_params_int8(params, min_in_chan=0, act_scales=calib)
+    hot = calib_batch * 4.0  # 4x beyond calibration
+    got = np.asarray(nn.conv2d(hot, qstatic))
+    # the clipped result stays finite and within the scale of the clipped
+    # float conv (each input saturates at its calibrated max)
+    clipped_ref = np.asarray(nn.conv2d(
+        jnp.clip(hot, -jnp.abs(calib_batch).max(axis=(0, 1, 2)) ,
+                 jnp.abs(calib_batch).max(axis=(0, 1, 2))), params))
+    assert np.all(np.isfinite(got))
+    assert rel_l2(got, clipped_ref) < 0.05
+
+
+def test_static_act_scale_under_jit(rng):
+    """The deployed static path must be jittable (calibration is eager-only)."""
+    from hand3d_tpu.ops.quant import calibrate_act_scales
+
+    params = nn.conv_init(KEY, 3, 3, 32, 64)
+    batches = [jnp.asarray(rng.randn(2, 8, 8, 32).astype(np.float32))]
+    calib = calibrate_act_scales(lambda p, x: nn.conv2d(x, p), params,
+                                 batches)
+    qstatic = quantize_params_int8(params, min_in_chan=0, act_scales=calib)
+    eager = nn.conv2d(batches[0], qstatic)
+    jitted = jax.jit(nn.conv2d)(batches[0], qstatic)
+    np.testing.assert_allclose(np.asarray(jitted), np.asarray(eager),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_serving_estimator_int8_static(rng):
+    """quantize='int8_static': calibration on representative images wires
+    through HandPoseEstimator and the predictions stay finite + close to
+    the float estimator's on the calibration distribution."""
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+    from hand3d_tpu.serving import HandPoseEstimator
+
+    params = ColorHandPose3D().init(KEY)
+    images = (rng.rand(2, 120, 160, 3) * 255).astype(np.uint8)
+    est_f = HandPoseEstimator(params, batch_size=2, input_hw=(120, 160))
+    est_q = HandPoseEstimator(
+        params, batch_size=2, input_hw=(120, 160), quantize="int8_static",
+        calibration_images=images,
+    )
+    out_f = est_f.predict(images)
+    out_q = est_q.predict(images)
+    assert np.isfinite(out_q["keypoint_coord3d"]).all()
+    # scoremap-space drift bounded (uv argmax can flip on random weights)
+    assert rel_l2(out_q["hand_scoremap"], out_f["hand_scoremap"]) < 0.15
+
+
+def test_serving_int8_static_requires_calibration():
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+    from hand3d_tpu.serving import HandPoseEstimator
+
+    import pytest as _pytest
+
+    params = ColorHandPose3D().init(KEY)
+    with _pytest.raises(AssertionError, match="calibration_images"):
+        HandPoseEstimator(params, batch_size=2, input_hw=(120, 160),
+                          quantize="int8_static")
+
+
+def test_refiner_scoped_quantization():
+    """include_substrings + scopes: only the PoseNet refinement units."""
+    from hand3d_tpu.models.cascade import ColorHandPose3D
+    from hand3d_tpu.ops.quant import is_quantized
+
+    params = ColorHandPose3D().init(KEY)
+    q = quantize_params_int8(
+        quantize_params_int8(params, scopes={"handsegnet"}),
+        scopes={"posenet2d"}, include_substrings={"conv6", "conv7"})
+    pose = q["PoseNet2D"]
+    assert is_quantized(pose["conv6_1"]) and is_quantized(pose["conv7_5"])
+    # heads stay float even inside the included units (min_out_chan gate)
+    assert not is_quantized(pose["conv6_7"])
+    assert not is_quantized(pose["conv7_7"])
+    # trunk stays float under the positive filter
+    assert not is_quantized(pose["conv4_3"])
+    assert not is_quantized(pose["conv5_1"])
+    # handsegnet wide layers quantized by the scoped first pass
+    assert is_quantized(q["HandSegNet"]["conv3_1"])
+    # other scopes untouched
+    assert not is_quantized(q["PosePrior"]["conv_pose_0_1"])

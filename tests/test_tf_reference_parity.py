@@ -1126,13 +1126,11 @@ def test_train_trajectory_vs_reference(oracle, jnp_cpu):
     Calibrated on this seed (probe committed in this test's tolerances):
     lifting 'proposed' tracks the reference to <=2.6e-3 relative loss over
     40 steps while the loss drops ~2x — the step-0 gap is the analytic
-    TF-vs-optax eps difference (~7e-6) and growth stays bounded. The conv
-    stages diverge chaotically instead (~10% by step 14 at random init):
-    hundreds of near-zero leaky-relu pre-activations flip masks between
-    the stacks and compound (see the flip analysis in
-    test_train_step_vs_reference) — so posenet gets only a coarse
-    same-descent-path bound here, and its per-step semantics are pinned by
-    the one-step test."""
+    TF-vs-optax eps difference (~7e-6) and growth stays bounded.
+    handsegnet tracks to <=2.2e-4 over 12 steps. posenet diverges
+    chaotically after ~3 steps, and that divergence is PINNED to its
+    mechanism (mask flips) rather than coarsely bounded: see the
+    three-part flip-aware assertions below."""
     import jax
     import optax
 
@@ -1178,19 +1176,109 @@ def test_train_trajectory_vs_reference(oracle, jnp_cpu):
     assert theirs[-1] < 0.75 * theirs[0]
     assert ours[-1] < 0.75 * ours[0]
 
-    # --- posenet: coarse same-descent-path bound (chaotic flips) --------
-    steps = 15
+    # --- handsegnet: tight trajectory pin -------------------------------
+    # Probed (this seed, 12 steps): rel loss stays <= 2.2e-4 throughout —
+    # the conv-stage chaos posenet shows does not materialize here.
+    steps = 12
+    inputs = _train_step_inputs("handsegnet", None)
+    ref = oracle.reference_train_step("handsegnet", inputs, lr,
+                                      num_steps=steps)
+    from hand3d_tpu.models import handsegnet
+    from hand3d_tpu.train.losses import handsegnet_loss
+
+    def seg_loss(tree):
+        logits = handsegnet.apply(tree[handsegnet.SCOPE], inputs["image"])
+        return handsegnet_loss(logits, inputs["hand_mask"])
+
+    ours = jax_trajectory(seg_loss, flat_to_tree(ref["vars0"]), steps)
+    theirs = np.asarray(ref["losses"])
+    rel = np.abs(ours - theirs) / np.abs(theirs)
+    assert rel.max() < 1.5e-3, f"max rel {rel.max():.2e} at {rel.argmax()}"
+
+    # --- posenet: mask-flip-aware trajectory pin (VERDICT r4 #6) --------
+    # The divergence mechanism is MEASURED, not assumed, in three parts:
+    #
+    # (1) FORWARD PARITY ALONG THE REFERENCE'S OWN TRAJECTORY: our loss
+    #     evaluated at the reference's post-step-t parameters must match
+    #     the reference's step-(t+1) loss at kernel-parity tolerance. This
+    #     proves ALL trajectory divergence is param drift, none of it
+    #     kernel mismatch.
+    # (2) THE DRIFT IS MASK FLIPS, AND THEY ARE SPARSE: cross-stack
+    #     leaky-relu sign disagreements (our forward, ours-vs-ref params)
+    #     measure ~1.0% of pre-activations after step 1, creeping to ~1.6%
+    #     by step 12 (probe committed here). Their seed is the analytic
+    #     TF-vs-optax Adam eps formulation: for |g| << eps_tf the two
+    #     updates differ by O(lr/2), so the HUGE tiny-gradient population
+    #     of a random-init conv net drifts immediately (median param delta
+    #     0.44*lr after one step) and shifts near-zero pre-activations
+    #     across 0. Bounds: nonzero (mechanism present) but < 5%.
+    # (3) TRACK-UNTIL-FLIP, THEN CORRELATION: loss rel is tight while the
+    #     flips are still benign (probed 6.9e-8 / 1.8e-4 / 1.2e-3 for the
+    #     first three steps), first exceeds 5e-3 no earlier than step 3,
+    #     stays < 0.2 (probed max 9.1e-2), and the two descent curves stay
+    #     correlated (Pearson r probed 0.981) with both ending lower.
+    steps = 12
     inputs = _train_step_inputs("posenet", None)
-    ref = oracle.reference_train_step("posenet", inputs, lr, num_steps=steps)
+    ref = oracle.reference_train_step("posenet", inputs, lr, num_steps=steps,
+                                      track_vars=True)
 
     def pose_loss(tree):
         preds = posenet.apply(tree[posenet.SCOPE], inputs["image_crop"])
         return posenet_scoremap_loss(
             preds, inputs["scoremap"], inputs["keypoint_vis21"])
 
-    ours = jax_trajectory(pose_loss, flat_to_tree(ref["vars0"]), steps)
+    def pose_masks(tree):
+        """Leaky-relu input signs of OUR forward, captured eagerly."""
+        from hand3d_tpu.ops import nn as _nn
+
+        signs, orig = [], _nn.leaky_relu
+
+        def capturing(x):
+            signs.append(np.asarray(x) > 0)
+            return orig(x)
+
+        _nn.leaky_relu = capturing
+        try:
+            posenet.apply(tree[posenet.SCOPE], inputs["image_crop"])
+        finally:
+            _nn.leaky_relu = orig
+        return signs
+
+    # our trajectory, keeping the post-step params
+    opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    state = opt.init(flat_to_tree(ref["vars0"]))
+    tree = flat_to_tree(ref["vars0"])
+    vg = jax.jit(jax.value_and_grad(pose_loss))
+    ours_losses, ours_trees = [], []
+    for _ in range(steps):
+        loss, grads = vg(tree)
+        ours_losses.append(float(loss))
+        updates, state = opt.update(grads, state, tree)
+        tree = optax.apply_updates(tree, updates)
+        ours_trees.append(jax.device_get(tree))
+    ours = np.asarray(ours_losses)
     theirs = np.asarray(ref["losses"])
     rel = np.abs(ours - theirs) / np.abs(theirs)
-    assert rel[1] < 1e-3, rel[1]
-    assert rel.max() < 0.25, f"max rel {rel.max():.2e} at {rel.argmax()}"
+
+    # (1) forward parity along the reference trajectory
+    for t in (0, 3, 7, steps - 2):
+        ref_tree = flat_to_tree(ref["vars_steps"][t])
+        ours_at_ref = float(jax.jit(pose_loss)(ref_tree))
+        cross_rel = abs(ours_at_ref - theirs[t + 1]) / abs(theirs[t + 1])
+        assert cross_rel < 1e-4, (t, cross_rel)
+
+    # (2) sparse cross-stack mask flips
+    for t, lo, hi in ((0, 1e-4, 0.05), (steps - 1, 1e-4, 0.05)):
+        m_ours = pose_masks(ours_trees[t])
+        m_ref = pose_masks(flat_to_tree(ref["vars_steps"][t]))
+        flips = sum(int((a != b).sum()) for a, b in zip(m_ours, m_ref))
+        total = sum(a.size for a in m_ours)
+        assert lo < flips / total < hi, (t, flips / total)
+
+    # (3) track-until-flip, then correlation
+    assert rel[0] < 1e-6 and rel[1] < 1e-3 and rel[2] < 5e-3, rel[:3]
+    diverged = np.nonzero(rel > 5e-3)[0]
+    assert diverged.size == 0 or diverged[0] >= 3, rel
+    assert rel.max() < 0.2, f"max rel {rel.max():.2e} at {rel.argmax()}"
+    assert np.corrcoef(ours, theirs)[0, 1] > 0.95
     assert theirs[-1] < theirs[0] and ours[-1] < ours[0]

@@ -246,7 +246,12 @@ def main():
             log_path = os.path.join(work, f"{name}.jsonl")
             if not resume and os.path.exists(log_path):
                 os.unlink(log_path)
-            proc = subprocess.Popen(argv, cwd=REPO,
+            # runs A, B and B-resume compile the same programs: share a
+            # persistent compile cache so only run A pays the big compile
+            env = dict(os.environ,
+                       JAX_COMPILATION_CACHE_DIR=os.path.join(work, "xcache"),
+                       JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1")
+            proc = subprocess.Popen(argv, cwd=REPO, env=env,
                                     stdout=subprocess.DEVNULL,
                                     stderr=subprocess.PIPE, text=True)
             killed = False

@@ -168,7 +168,8 @@ def main():
 
     from hand3d_tpu.models.cascade import ColorHandPose3D
     from hand3d_tpu.ops.phasepack import phase_pack_params
-    from hand3d_tpu.ops.quant import quantize_params_int8
+    from hand3d_tpu.ops.quant import (calibrate_act_scales,
+                                      quantize_params_int8)
 
     net = ColorHandPose3D()
     if args.overfit_dir:
@@ -180,14 +181,31 @@ def main():
           file=sys.stderr)
     base = _run(net, params, batches, hand_side)
 
+    # static activation scales, calibrated on the first fixture batches
+    # (eager float cascade; VERDICT r4 #3 — the candidate cure for the
+    # PoseNet2D dynamic-grid drift)
+    print("calibrating static act scales ...", file=sys.stderr)
+    calib = calibrate_act_scales(
+        lambda p, b: net.inference(p, jax.numpy.asarray(b), hand_side),
+        params, batches[:max(1, len(batches) // 2)],
+        margin=float(os.environ.get("HAND3D_CALIB_MARGIN", "1.0")))
+
     variants = {
         "seg_scale=0.5": (ColorHandPose3D(seg_scale=0.5), params),
         "bf16": (ColorHandPose3D(compute_dtype=jax.numpy.bfloat16), params),
         "int8": (net, quantize_params_int8(params)),
+        # full int8 with calibrated STATIC per-input-channel act scales
+        "int8_static": (net, quantize_params_int8(params,
+                                                  act_scales=calib)),
         # HandSegNet-scoped int8: the drift-free half of the int8 speedup
         # (DESIGN.md ablation: all uv drift localizes to PoseNet2D)
         "int8_seg": (net, quantize_params_int8(params,
                                                scopes={"handsegnet"})),
+        # HandSegNet + only the PoseNet refinement units (the trunk that
+        # feeds the first scoremap head stays float)
+        "int8_seg_refiners": (net, quantize_params_int8(
+            quantize_params_int8(params, scopes={"handsegnet"}),
+            scopes={"posenet2d"}, include_substrings={"conv6", "conv7"})),
         # ... composed with phase_pack (candidate parity-accuracy headline:
         # both constituents bound at 0.00 px individually)
         "int8_seg_pp": (net, phase_pack_params(

@@ -47,23 +47,40 @@ jax.config.update("jax_platforms", "cpu")
 import optax  # noqa: E402
 
 
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "s32": 4, "u32": 4, "bf16": 2,
+                "f16": 2, "s8": 1, "u8": 1, "pred": 1}
+
+
+def _shape_bytes(result_text):
+    """Total bytes of an HLO result type, incl. tuple results like
+    ``(f32[3,3,64,64]{...}, f32[64]{...})`` (GSPMD fuses the gradient
+    all-reduce into one tuple-shaped op)."""
+    total = 0
+    for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", result_text):
+        size = _DTYPE_BYTES.get(dt)
+        if size is None:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += size * n
+    return total
+
+
 def _collective_stats(hlo_text):
     """Count collectives + their tensor bytes in a compiled HLO module."""
     stats = {}
     total_bytes = 0
     # e.g.: %all-reduce.5 = f32[3,3,128,128]{...} all-reduce(...)
+    #   or: %all-reduce.9 = (f32[64]{0}, f32[3,3,64,64]{...}) all-reduce(...)
     for m in re.finditer(
-            r"=\s+(?:\([^)]*\)|(\w+)\[([\d,]*)\][^ ]*)\s+"
+            r"=\s+(\([^)]*\)|\w+\[[\d,]*\][^\s]*)\s+"
             r"(all-reduce|all-gather|reduce-scatter|collective-permute|"
             r"all-to-all)\b", hlo_text):
-        dtype, shape, op = m.group(1), m.group(2), m.group(3)
+        result_text, op = m.group(1), m.group(2)
         stats[op] = stats.get(op, 0) + 1
-        if dtype and dtype.startswith(("f32", "s32", "u32")):
-            n = 1
-            for d in (shape or "").split(","):
-                if d:
-                    n *= int(d)
-            total_bytes += 4 * n
+        total_bytes += _shape_bytes(result_text)
     return stats, total_bytes
 
 
