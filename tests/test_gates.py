@@ -85,7 +85,7 @@ def test_release_check_records_round(tmp_path):
     # The real per-round run is committed as RESULTS_r{N}.json.
     proc = _run_tool(
         ["tools/release_check.py", "--round", "97", "--out-dir", str(tmp_path),
-         "--skip", "chip_smoke", "bench", "overfit", "preset",
+         "--skip", "chip_smoke", "bench", "overfit", "preset", "generalization",
          "multihost", "multichip"],
         timeout=120,
     )
@@ -113,7 +113,7 @@ def test_release_check_merge_adopts_prior_steps(tmp_path):
     proc = _run_tool(
         ["tools/release_check.py", "--round", "97", "--merge",
          "--out-dir", str(tmp_path),
-         "--skip", "chip_smoke", "bench", "overfit", "preset",
+         "--skip", "chip_smoke", "bench", "overfit", "preset", "generalization",
          "multihost", "multichip"],
         timeout=120,
     )
@@ -134,7 +134,7 @@ def test_release_check_merge_adopts_prior_steps(tmp_path):
     _run_tool(
         ["tools/release_check.py", "--round", "97", "--merge",
          "--out-dir", str(tmp_path),
-         "--skip", "chip_smoke", "bench", "overfit", "preset",
+         "--skip", "chip_smoke", "bench", "overfit", "preset", "generalization",
          "multihost", "multichip"],
         timeout=120,
     )
@@ -148,7 +148,7 @@ def test_release_check_full_ladder_goes_green(tmp_path):
     # record is GREEN — and per-step commit stamps are recorded, so adopted
     # steps keep the commit they measured (round-3 advisor, low)
     out = tmp_path / "RESULTS_r97.json"
-    steps = ["chip_smoke", "bench", "overfit", "preset",
+    steps = ["chip_smoke", "bench", "overfit", "preset", "generalization",
              "multihost", "multichip"]
     out.write_text(json.dumps({
         "round": 97, "commit": "prior", "utc": "", "ok": False,
@@ -254,3 +254,31 @@ def test_preset_accuracy_runs_end_to_end(tmp_path):
     for name, deltas in summary["presets"].items():
         assert "uv21_epe_px" in deltas and "coord3d_drift" in deltas, name
     assert "Preset accuracy bounds" in doc.read_text()
+
+
+@pytest.mark.slow
+def test_generalization_gate_smoke(tmp_path):
+    """tools/generalization_check.py --smoke end-to-end on CPU: rendered
+    fixtures + synthetic CPM warm start + three trainer subprocess runs.
+    Asserts the gate MACHINERY (VERDICT r4 #4): lr column crosses the
+    boundary, run B is SIGTERM'd mid-run, and --resume reproduces run A's
+    final parameters BITWISE. The learning assert is chip-scale only."""
+    doc = tmp_path / "GENERALIZATION.md"
+    # inner per-run timeout sized for a CONTENDED host: the gate measured
+    # 992 s wall solo, but a concurrent chip gate starves the 1-core host
+    # and a 900 s inner budget flaked exactly once that way
+    proc = _run_tool(
+        ["tools/generalization_check.py", "--smoke", "--timeout", "1800",
+         "--write-doc", str(doc)],
+        timeout=4200,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no JSON summary:\n{proc.stdout[-800:]}\n{proc.stderr[-800:]}"
+    summary = json.loads(lines[-1])
+    assert summary["ok"] is True, summary
+    assert summary["lr_crossed"] is True
+    assert summary["b_killed_midrun"] is True
+    assert summary["resume_bitwise_equal"] is True
+    assert summary["learned"] is None  # not judged at smoke scale
+    assert sorted(summary["lr_values_seen"]) == [1e-5, 1e-4]
+    assert "resume bitwise-equal" in doc.read_text()

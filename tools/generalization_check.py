@@ -248,9 +248,11 @@ def main():
                 os.unlink(log_path)
             # runs A, B and B-resume compile the same programs: share a
             # persistent compile cache so only run A pays the big compile
-            env = dict(os.environ,
-                       JAX_COMPILATION_CACHE_DIR=os.path.join(work, "xcache"),
-                       JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1")
+            # (an inherited cache dir, e.g. the test suite's, wins)
+            env = dict(os.environ)
+            env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                           os.path.join(work, "xcache"))
+            env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
             proc = subprocess.Popen(argv, cwd=REPO, env=env,
                                     stdout=subprocess.DEVNULL,
                                     stderr=subprocess.PIPE, text=True)

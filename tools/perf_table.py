@@ -43,6 +43,16 @@ _ROWS = [
      {"HAND3D_BENCH_SEG_SCALE": "0.5"}),
     ("int8_b32", "int8 PTQ, batch 32", 32, 700,
      {"HAND3D_BENCH_QUANT": "int8"}),
+    ("int8_static_b32", "int8 static act scales (see PRESETS drift), b32",
+     32, 900, {"HAND3D_BENCH_QUANT": "int8_static"}),
+    ("int8_static_b128", "int8 static act scales (see PRESETS drift), b128",
+     128, 900, {"HAND3D_BENCH_QUANT": "int8_static"}),
+    ("int8_static_fast_b128", "int8 static + fast preset, batch 128",
+     128, 900, {"HAND3D_BENCH_QUANT": "int8_static",
+                "HAND3D_BENCH_SEG_SCALE": "0.5"}),
+    ("lat_b1_int8_static", "batch-1 latency, int8 static (scan chain)", 1,
+     900, {"HAND3D_BENCH_QUANT": "int8_static", "HAND3D_BENCH_METHOD": "scan",
+           "HAND3D_BENCH_CHAIN": "32", "HAND3D_PALLAS": "0"}),
     ("int8_seg_b32", "int8 HandSegNet-scoped (drift-free), batch 32", 32,
      700, {"HAND3D_BENCH_QUANT": "int8",
            "HAND3D_BENCH_QUANT_SCOPE": "handsegnet"}),

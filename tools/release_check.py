@@ -96,6 +96,15 @@ def _steps(args, work):
             [py, "tools/preset_accuracy.py", "--overfit-dir", overfit_dir],
             1800, {},
         ),
+        # held-out learning + LR-boundary crossing + kill/resume bitwise
+        # equality at training scale (VERDICT r4 #4); self-bounds each of
+        # its three trainer runs to --timeout and shares a compile cache,
+        # so only run A pays the big compile
+        "generalization": (
+            [py, "tools/generalization_check.py", "--timeout", "1500",
+             "--write-doc", os.path.join(REPO, "docs", "GENERALIZATION.md")],
+            5100, {},
+        ),
         "multihost": (
             [py, "-m", "pytest", "tests/test_multiprocess.py", "-x", "-q"],
             1500, {},
