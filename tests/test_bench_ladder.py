@@ -221,9 +221,12 @@ def test_bench_cpu_end_to_end():
                                       "bench.py")],
         env=dict(os.environ, HAND3D_BENCH_PLATFORM="cpu",
                  HAND3D_BENCH_FORCE_BATCH="4", HAND3D_BENCH_CHAIN="2",
-                 HAND3D_BENCH_WALL_BUDGET="260",
+                 # banker budget = wall - probe - _RUNG_RESERVE (250):
+                 # 600 leaves it ~330 s, and after it succeeds (~150 s)
+                 # the improver is skipped (< _IMPROVER_MIN_BUDGET left)
+                 HAND3D_BENCH_WALL_BUDGET="600",
                  HAND3D_BENCH_PROBE_TIMEOUT="60"),
-        capture_output=True, text=True, timeout=300)
+        capture_output=True, text=True, timeout=650)
     assert r.returncode == 0, r.stderr[-2000:]
     lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
     assert len(lines) == 1, r.stdout
