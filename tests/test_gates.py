@@ -240,17 +240,19 @@ def test_overfit_rerun_into_same_keep_dir_has_fresh_curves(tmp_path):
 @pytest.mark.slow
 def test_preset_accuracy_runs_end_to_end(tmp_path):
     doc = tmp_path / "PRESETS.md"
+    # budget: the r5 int8_static variant adds an EAGER calibration pass of
+    # the float cascade (slow on XLA:CPU) plus two variant sweeps
     proc = _run_tool(
         ["tools/preset_accuracy.py", "--random-init", "--images", "8",
          "--batch", "8", "--write-doc", str(doc)],
-        timeout=900,
+        timeout=1800,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     summary = json.loads(lines[-1])
     assert set(summary["presets"]) == {
-        "seg_scale=0.5", "bf16", "int8", "int8_seg", "int8_seg_pp",
-        "phase_pack"}
+        "seg_scale=0.5", "bf16", "int8", "int8_static", "int8_seg",
+        "int8_seg_refiners", "int8_seg_pp", "phase_pack"}
     for name, deltas in summary["presets"].items():
         assert "uv21_epe_px" in deltas and "coord3d_drift" in deltas, name
     assert "Preset accuracy bounds" in doc.read_text()
@@ -259,10 +261,12 @@ def test_preset_accuracy_runs_end_to_end(tmp_path):
 @pytest.mark.slow
 def test_generalization_gate_smoke(tmp_path):
     """tools/generalization_check.py --smoke end-to-end on CPU: rendered
-    fixtures + synthetic CPM warm start + three trainer subprocess runs.
+    fixtures + synthetic CPM warm start + trainer subprocess runs.
     Asserts the gate MACHINERY (VERDICT r4 #4): lr column crosses the
-    boundary, run B is SIGTERM'd mid-run, and --resume reproduces run A's
-    final parameters BITWISE. The learning assert is chip-scale only."""
+    boundary, run B stops at half and --resume reproduces run A's final
+    parameters BITWISE. The learning assert and the live-SIGTERM
+    interruption are chip-scale only (the latter also unit-tested in
+    tests/test_train_loop.py)."""
     doc = tmp_path / "GENERALIZATION.md"
     # inner per-run timeout sized for a CONTENDED host: the gate measured
     # 992 s wall solo, but a concurrent chip gate starves the 1-core host
@@ -277,7 +281,8 @@ def test_generalization_gate_smoke(tmp_path):
     summary = json.loads(lines[-1])
     assert summary["ok"] is True, summary
     assert summary["lr_crossed"] is True
-    assert summary["b_killed_midrun"] is True
+    assert summary["b_killed_midrun"] is None  # judged at full scale only
+    assert summary["b_split_resume"] is True
     assert summary["resume_bitwise_equal"] is True
     assert summary["learned"] is None  # not judged at smoke scale
     assert sorted(summary["lr_values_seen"]) == [1e-5, 1e-4]

@@ -271,7 +271,7 @@ def main():
                         proc.send_signal(signal.SIGTERM)
                         killed = True
                         break
-                    time.sleep(0.5)
+                    time.sleep(0.1)
             try:
                 _, err = proc.communicate(
                     timeout=max(10.0, deadline - time.time()))
@@ -312,11 +312,25 @@ def main():
             steps_hi and steps_lo
             and max(steps_hi) < args.lr_boundary <= min(steps_lo))
 
-        # run B: SIGTERM mid-run, then --resume; final params must equal
-        # run A's bitwise
-        _log("run B: kill mid-run + --resume ...")
-        killed = run("b", args.steps, kill_at_frac=0.5)
-        checks["b_killed_midrun"] = bool(killed)
+        # run B: interrupted mid-run, then --resume; final params must equal
+        # run A's bitwise. At full scale the interruption is a live SIGTERM
+        # (log-polled kill target with dozens of step windows left); at
+        # smoke scale the runs are seconds long and the poll-kill is a
+        # race (observed flake: run B finished its handful of windows
+        # before the signal could land on a warm compile cache), so smoke
+        # splits run B deterministically: train to steps/2, stop, then
+        # --resume to the end. The SIGTERM preemption path itself is
+        # unit-tested (tests/test_train_loop.py) and exercised by the
+        # chip-scale gate run.
+        if args.smoke:
+            _log("run B: split at half + --resume (smoke) ...")
+            run("b", args.steps // 2)
+            checks["b_killed_midrun"] = None  # judged at full scale only
+            checks["b_split_resume"] = True
+        else:
+            _log("run B: kill mid-run + --resume ...")
+            killed = run("b", args.steps, kill_at_frac=0.5)
+            checks["b_killed_midrun"] = bool(killed)
         run("b", args.steps, resume=True)
         params_a = _final_params(work, "a", args.steps)
         params_b = _final_params(work, "b", args.steps)

@@ -94,7 +94,10 @@ def _steps(args, work):
         ),
         "preset": (
             [py, "tools/preset_accuracy.py", "--overfit-dir", overfit_dir],
-            1800, {},
+            # the r5 int8_static calibration pass runs the float cascade
+            # EAGERLY (per-op dispatches through the tunnel) before the
+            # variant sweeps — measured ~35 min total on a contended host
+            3000, {},
         ),
         # held-out learning + LR-boundary crossing + kill/resume bitwise
         # equality at training scale (VERDICT r4 #4); self-bounds each of
@@ -240,6 +243,14 @@ def main():
             summary = _last_json_line(proc.stdout)
             if summary is not None:
                 entry["summary"] = summary
+                # bench.py's contract is exit 0 whenever it printed a
+                # machine-readable record — including the honest
+                # device-unreachable / partial records. The LADDER's bar is
+                # a real full measurement: judge the record's content.
+                if name == "bench" and (summary.get("error")
+                                        or summary.get("partial")
+                                        or summary.get("value") is None):
+                    entry["ok"] = ok = False
             if not ok:
                 entry["stderr_tail"] = (proc.stderr or "")[-1500:]
                 entry["stdout_tail"] = (proc.stdout or "")[-800:]
