@@ -56,9 +56,17 @@ def conv2d(x, params, stride=1, compute_dtype=None):
     if "weights_fq" in params:
         from hand3d_tpu.ops import quant
 
-        params = {"weights": quant.fake_quant_weights(params["weights_fq"]),
-                  "biases": params["biases"]}
-        x = quant.fake_quant_act(x)
+        s_in = params.get("act_scale_fq")
+        if s_in is not None:  # QAT-STATIC twin of the int8_static path
+            params = {"weights": quant.fake_quant_weights_static(
+                          params["weights_fq"], s_in),
+                      "biases": params["biases"]}
+            x = quant.fake_quant_act_static(x, s_in)
+        else:
+            params = {"weights": quant.fake_quant_weights(
+                          params["weights_fq"]),
+                      "biases": params["biases"]}
+            x = quant.fake_quant_act(x)
     w, b = params["weights"], params["biases"]
     if compute_dtype is not None:
         x, w = x.astype(compute_dtype), w.astype(compute_dtype)
@@ -148,9 +156,17 @@ def dense(x, params, compute_dtype=None):
     if "weights_fq" in params:
         from hand3d_tpu.ops import quant
 
-        params = {"weights": quant.fake_quant_weights(params["weights_fq"]),
-                  "biases": params["biases"]}
-        x = quant.fake_quant_act(x)
+        s_in = params.get("act_scale_fq")
+        if s_in is not None:  # QAT-STATIC twin of the int8_static path
+            params = {"weights": quant.fake_quant_weights_static(
+                          params["weights_fq"], s_in),
+                      "biases": params["biases"]}
+            x = quant.fake_quant_act_static(x, s_in)
+        else:
+            params = {"weights": quant.fake_quant_weights(
+                          params["weights_fq"]),
+                      "biases": params["biases"]}
+            x = quant.fake_quant_act(x)
     w, b = params["weights"], params["biases"]
     if compute_dtype is not None:
         x, w = x.astype(compute_dtype), w.astype(compute_dtype)

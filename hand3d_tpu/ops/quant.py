@@ -327,8 +327,35 @@ def fake_quant_act(x):
     return _ste(x, q)
 
 
+def fake_quant_weights_static(w, s_in):
+    """QDQ kernel view matching the STATIC deployment path exactly.
+
+    Deployment folds s_in into the kernel before per-oc quantization
+    (quantize_params_int8 act_scales path); the training twin quantizes
+    the FOLDED kernel and unfolds, so the effective forward kernel equals
+    dequantize(w'_q)/s_in. Gradients pass straight through to ``w``."""
+    ic_axis = w.ndim - 2
+    shape = [1] * w.ndim
+    shape[ic_axis] = w.shape[ic_axis]
+    s_in = jax.lax.stop_gradient(jnp.asarray(s_in, w.dtype).reshape(shape))
+    folded = w * s_in
+    scale = jax.lax.stop_gradient(_weight_scale(folded))
+    q = jnp.clip(jnp.round(folded / scale), -_QMAX, _QMAX) * scale / s_in
+    return _ste(w, q)
+
+
+def fake_quant_act_static(x, s_in):
+    """QDQ activation view of the STATIC scheme: elementwise per-input-
+    channel grid with out-of-calibration clipping at ±127·s_in — identical
+    forward values to the deployed round(x / s_in) int8 path."""
+    s_in = jax.lax.stop_gradient(jnp.asarray(s_in, x.dtype))
+    q = jnp.clip(jnp.round(x / s_in), -_QMAX, _QMAX) * s_in
+    return _ste(x, q)
+
+
 def qat_view(params, min_in_chan=128, min_out_chan=32,
-             skip_substrings=("upconv", "deconv"), scopes=None):
+             skip_substrings=("upconv", "deconv"), scopes=None,
+             act_scales=None):
     """Quantization-aware-training view of a param tree.
 
     Renames each eligible layer's "weights" to "weights_fq" (arrays are
@@ -347,6 +374,14 @@ def qat_view(params, min_in_chan=128, min_out_chan=32,
     stage scoping — QAT for a scoped deployment preset must fake-quantize
     exactly the scoped stages.
 
+    ``act_scales``: optional calibration from :func:`calibrate_act_scales`
+    — the QAT-STATIC tightener (DESIGN.md): layers found in it train
+    through the STATIC per-input-channel fake quantizer
+    (fake_quant_weights_static / fake_quant_act_static), so the weights
+    adapt to the exact grids the int8_static deployment will use. Layers
+    not found keep the dynamic fake quantizer. Deployment pairing:
+    quantize_params_int8(params, act_scales=SAME calibration).
+
     Usage (wrap the loss; params/optimizer stay float):
         loss_qat = lambda p, batch, key: loss_fn(qat_view(p), batch, key)
     After training, quantize_params_int8(params) produces the deployment
@@ -355,7 +390,8 @@ def qat_view(params, min_in_chan=128, min_out_chan=32,
     if scopes is not None:
         keys = resolve_scopes(params, scopes)
         return {
-            k: (qat_view(v, min_in_chan, min_out_chan, skip_substrings)
+            k: (qat_view(v, min_in_chan, min_out_chan, skip_substrings,
+                         act_scales=act_scales)
                 if k in keys else v)
             for k, v in params.items()
         }
@@ -363,11 +399,15 @@ def qat_view(params, min_in_chan=128, min_out_chan=32,
         if "weights" in params and "biases" in params:
             if not _eligible(params["weights"], min_in_chan, min_out_chan):
                 return params
-            return {"weights_fq": params["weights"],
-                    "biases": params["biases"]}
+            out = {"weights_fq": params["weights"],
+                   "biases": params["biases"]}
+            s_in = (act_scales or {}).get(id(params["weights"]))
+            if s_in is not None:
+                out["act_scale_fq"] = s_in
+            return out
         return {k: (v if any(s in k for s in skip_substrings)
                     else qat_view(v, min_in_chan, min_out_chan,
-                                  skip_substrings))
+                                  skip_substrings, act_scales=act_scales))
                 for k, v in params.items()}
     return params
 

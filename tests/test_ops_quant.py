@@ -458,3 +458,72 @@ def test_refiner_scoped_quantization():
     assert is_quantized(q["HandSegNet"]["conv3_1"])
     # other scopes untouched
     assert not is_quantized(q["PosePrior"]["conv_pose_0_1"])
+
+
+def test_qat_static_forward_matches_ptq_static(rng):
+    """QAT-STATIC fake quant must see EXACTLY the deployed int8_static
+    numerics: conv(QDQ_static(x), QDQ_static(w)) == dequant(conv_int8) of
+    the act_scales deployment path (per-channel factors commute through
+    the contraction exactly)."""
+    from hand3d_tpu.ops.quant import calibrate_act_scales, qat_view
+
+    params = nn.conv_init(KEY, 3, 3, 32, 64)
+    batches = [jnp.asarray(rng.randn(2, 10, 12, 32).astype(np.float32))
+               for _ in range(2)]
+    calib = calibrate_act_scales(lambda p, x: nn.conv2d(x, p), params,
+                                 batches)
+    v = qat_view(params, min_in_chan=0, act_scales=calib)
+    assert "act_scale_fq" in v
+    out_qat = nn.conv2d(batches[0], v)
+    out_ptq = nn.conv2d(batches[0], quantize_params_int8(
+        params, min_in_chan=0, act_scales=calib))
+    np.testing.assert_allclose(np.asarray(out_qat), np.asarray(out_ptq),
+                               atol=2e-4)
+    # without act_scales the view stays dynamic
+    assert "act_scale_fq" not in qat_view(params, min_in_chan=0)
+
+
+def test_qat_static_gradients_flow(rng):
+    from hand3d_tpu.ops.quant import calibrate_act_scales, qat_view
+
+    params = {"layer": nn.dense_init(KEY, 64, 32)}
+    x = jnp.asarray(rng.randn(4, 64).astype(np.float32))
+    calib = calibrate_act_scales(
+        lambda p, b: nn.dense(b, p["layer"]), params, [x])
+
+    def loss_float(p):
+        return jnp.mean(nn.dense(x, p["layer"]) ** 2)
+
+    def loss_qat(p):
+        return jnp.mean(nn.dense(
+            x, qat_view(p, min_in_chan=0, act_scales=calib)["layer"]) ** 2)
+
+    g_f = jax.grad(loss_float)(params)["layer"]["weights"]
+    g_q = jax.grad(loss_qat)(params)["layer"]["weights"]
+    assert np.abs(np.asarray(g_q)).max() > 0
+    assert rel_l2(g_q, g_f) < 0.1
+
+
+def test_qat_static_training_reduces_loss(rng):
+    import optax
+    from hand3d_tpu.ops.quant import calibrate_act_scales, qat_view
+
+    params = {"layer": nn.dense_init(KEY, 128, 16)}
+    x = jnp.asarray(rng.randn(8, 128).astype(np.float32))
+    y = jnp.asarray(rng.randn(8, 16).astype(np.float32))
+    calib = calibrate_act_scales(
+        lambda p, b: nn.dense(b, p["layer"]), params, [x])
+
+    def loss(p):
+        return jnp.mean((nn.dense(x, qat_view(
+            p, min_out_chan=0, act_scales=calib)["layer"]) - y) ** 2)
+
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+    step = jax.jit(lambda p, s: (lambda g: (
+        optax.apply_updates(p, opt.update(g, s, p)[0]),
+        opt.update(g, s, p)[1]))(jax.grad(loss)(p)))
+    l0 = float(loss(params))
+    for _ in range(60):
+        params, state = step(params, state)
+    assert float(loss(params)) < 0.5 * l0
